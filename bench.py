@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark: flagship CUB train step throughput on the local accelerator.
+
+Runs the fused G+D train step for the flagship config
+(birds_2stg_splitz_cap_ca.realcls.yml: 64+128px stages, capsule G head,
+capsule D classifier, split-z CA conditioning, EKL class losses) on
+synthetic data, and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline anchor: the reference trains CUB at ~37 images/sec/GPU (bs24,
+4 min/epoch over 8,855 images on one GPU; reference main.py:157-161,
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_IMAGES_PER_SEC = 37.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.parallel import make_mesh, shard_batch
+    from text2img_ekl_tpu.train import create_train_state, make_train_step
+    from text2img_ekl_tpu.train.step import cond_code_width
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'cfg', 'birds_2stg_splitz_cap_ca.realcls.yml')
+    if not os.path.exists(cfg_path):
+        cfg_path = '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml'
+    cfg = cfg_from_file(cfg_path)
+    bs = int(os.environ.get('BENCH_BS', cfg.TRAIN.BATCH_SIZE))
+    cfg.TRAIN.BATCH_SIZE = bs
+    steps = int(os.environ.get('BENCH_STEPS', 30))
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, G, Ds, rng, cond_code_width(cfg))
+    step_fn = make_train_step(cfg, G, Ds, mesh)
+
+    B = bs * n_chips
+    sizes = cfg.branch_sizes()
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
+    batch = {
+        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
+                      for i, s in enumerate(sizes)),
+        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
+                       for i, s in enumerate(sizes)),
+        'txt': jax.random.normal(ks[6], (B, cfg.TEXT.DIMENSION)) * 0.4,
+        'cls_onehot': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM),
+        'real_cp': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM + 1),
+    }
+    batch = shard_batch(mesh, batch)
+
+    # warmup/compile
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(state.g_params)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = B * steps / dt
+    per_chip = imgs_per_sec / n_chips
+    result = {
+        'metric': 'cub_flagship_train_images_per_sec_per_chip',
+        'value': round(per_chip, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,144 @@
+"""Fused train-step tests on the 8-device virtual CPU mesh.
+
+Compiled steps are shared across tests via module-scoped fixtures — the
+fused G+D graph is expensive to compile on a single-CPU CI host.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2img_ekl_tpu.config import cfg_from_file
+from text2img_ekl_tpu.models import build_discriminators, build_generator
+from text2img_ekl_tpu.parallel import make_mesh, shard_batch
+from text2img_ekl_tpu.train import create_train_state, make_train_step
+from text2img_ekl_tpu.train.step import cond_code_width
+
+REF_CFG_DIR = '/root/reference/cfg'
+RNG = jax.random.PRNGKey(0)
+
+
+def _small(cfg, bs=2):
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = bs
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    return cfg
+
+
+def _batch(cfg, B, coco=False):
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    sizes = cfg.branch_sizes()
+    b = {
+        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
+                      for i, s in enumerate(sizes)),
+        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
+                       for i, s in enumerate(sizes)),
+    }
+    n1 = cfg.GAN.ENTITY_DIM + 1
+    if coco:
+        multi = (jax.random.uniform(ks[6], (B, n1)) > 0.7).astype(jnp.float32)
+        multi = multi.at[:, 0].set(1.0)
+        b['cond'] = jnp.concatenate(
+            [jax.random.normal(ks[7], (B, cfg.TEXT.DIMENSION)), multi], axis=1)
+        b['real_cp'] = multi / jnp.sum(multi, axis=1, keepdims=True)
+    else:
+        b['txt'] = jax.random.normal(ks[7], (B, cfg.TEXT.DIMENSION)) * 0.4
+        cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
+        b['cls_onehot'] = jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM)
+        b['real_cp'] = jax.nn.one_hot(cls, n1)
+    return b
+
+
+def _setup(name, coco=False, B=16):
+    cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
+    mesh = make_mesh()
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    batch = shard_batch(mesh, _batch(cfg, B, coco))
+    step = make_train_step(cfg, G, Ds, mesh)
+    return cfg, state, batch, step
+
+
+@pytest.fixture(scope='module')
+def flagship():
+    return _setup('birds_2stg_splitz_cap_ca.realcls.yml')
+
+
+@pytest.fixture(scope='module')
+def flagship_run(flagship):
+    """One compiled+executed step, shared by several assertions.
+
+    Later steps donate the state buffers, so everything inspected by
+    individual tests is materialized to numpy here.
+    """
+    cfg, state, batch, step = flagship
+    g0 = np.asarray(jax.tree.leaves(state.g_params)[0])
+    d0 = np.asarray(jax.tree.leaves(state.d_params[0])[0])
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    g1 = np.asarray(jax.tree.leaves(new_state.g_params)[0])
+    d1 = np.asarray(jax.tree.leaves(new_state.d_params[0])[0])
+    bs_leaf = jax.tree.leaves(new_state.g_batch_stats)[0]
+    bs_shards = [np.asarray(s.data) for s in bs_leaf.addressable_shards]
+    step_no = int(new_state.step)
+    metrics = {k: float(v) for k, v in metrics.items()}
+    return dict(cfg=cfg, batch=batch, step=step, state=new_state,
+                metrics=metrics, g0=g0, g1=g1, d0=d0, d1=d1,
+                bs_shards=bs_shards, step_no=step_no)
+
+
+def test_flagship_step_metrics_finite(flagship_run):
+    assert flagship_run['step_no'] == 1
+    for k, v in flagship_run['metrics'].items():
+        assert np.isfinite(v), k
+
+
+def test_flagship_params_update(flagship_run):
+    r = flagship_run
+    assert np.max(np.abs(r['g1'] - r['g0'])) > 0
+    assert np.max(np.abs(r['d1'] - r['d0'])) > 0
+
+
+def test_flagship_loss_decomposition(flagship_run):
+    """errD == match + uncond + cls (cub_trainer_splitz_cap_ca.py:448)."""
+    m = flagship_run['metrics']
+    np.testing.assert_allclose(
+        m['errD'], m['errD_match'] + m['errD_uncond'] + m['errD_cls'],
+        rtol=1e-5)
+
+
+def test_flagship_batch_stats_replicated(flagship_run):
+    """BN running stats are pmean'd: every shard must agree."""
+    shards = flagship_run['bs_shards']
+    for s in shards[1:]:
+        np.testing.assert_allclose(s, shards[0], rtol=1e-6)
+
+
+def test_flagship_d_learns_on_fixed_batch(flagship_run):
+    """D separates real/fake on a fixed batch within a few steps.
+
+    Runs last in the module: the steps donate/consume the shared state.
+    """
+    batch, step = flagship_run['batch'], flagship_run['step']
+    state = flagship_run['state']
+    first = flagship_run['metrics']['errD_match']
+    metrics = None
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (i, k)
+    assert float(metrics['errD_match']) < first
+
+
+def test_coco_strategy_step():
+    cfg, state, batch, step = _setup('coco_2stgs.yml', coco=True)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics['kl_cls']) == 0.0  # single KL for the coco path
+    assert float(metrics['errD']) > 0

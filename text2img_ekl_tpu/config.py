@@ -1,0 +1,217 @@
+"""Typed configuration tree for the TPU-native Text2img_EKL framework.
+
+Mirrors the reference schema (reference: miscc/config.py:13-77) so that the
+reference's ``cfg/*.yml`` files load verbatim, with the same strict-merge
+semantics: unknown keys raise ``KeyError`` (miscc/config.py:92) and type
+mismatches raise ``ValueError`` (miscc/config.py:100).
+
+Unlike the reference's mutable module-level singleton, configs here are
+explicit objects passed to constructors; a module-level default instance is
+still provided for CLI convenience.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict
+
+
+@dataclass
+class TreeConfig:
+    """Multi-stage image pyramid (reference: miscc/config.py:23-26)."""
+
+    BRANCH_NUM: int = 3
+    BASE_SIZE: int = 64
+    SCALE: int = 2
+
+
+@dataclass
+class TestConfig:
+    """Test/sampling options (reference: miscc/config.py:30-35)."""
+
+    B_EXAMPLE: bool = True
+    SAMPLE_NUM: int = 30000
+    EVAL_MODE: bool = True
+    G_CAPSULE: bool = False
+    CLS_PRIOR: bool = False
+
+
+@dataclass
+class CoeffConfig:
+    """Loss coefficients (reference: miscc/config.py:58-61)."""
+
+    KL: float = 2.0
+    UNCOND_LOSS: float = 0.0
+    COLOR_LOSS: float = 0.0
+
+
+@dataclass
+class TrainConfig:
+    """Training options (reference: miscc/config.py:39-61)."""
+
+    BATCH_SIZE: int = 64
+    VIS_COUNT: int = 64
+    MAX_EPOCH: int = 600
+    SNAPSHOT_INTERVAL: int = 2000
+    DISCRIMINATOR_LR: float = 2e-4
+    GENERATOR_LR: float = 2e-4
+    FLAG: bool = True
+    NET_G: str = ''
+    ENTITY_NET_G: str = ''
+    NET_D: str = ''
+    ENTITY_NET_D: str = ''
+    BIG_EVAL: bool = False
+    G_CAPSULE: bool = False
+    D_CAPSULE: bool = False
+    CAT_Z: str = 'concat'
+    EXCHANGE: bool = False
+    GENERAL_IS: bool = False
+    COEFF: CoeffConfig = field(default_factory=CoeffConfig)
+
+
+@dataclass
+class GanConfig:
+    """Model dimensions (reference: miscc/config.py:65-74)."""
+
+    EMBEDDING_DIM: int = 128
+    DF_DIM: int = 64
+    GF_DIM: int = 64
+    Z_DIM: int = 100
+    NETWORK_TYPE: str = 'default'
+    R_NUM: int = 2
+    B_CONDITION: bool = False
+    ENTITY_DIM: int = 200
+    MANIFD_DIM: int = 128
+
+
+@dataclass
+class TextConfig:
+    """Text embedding dims (reference: miscc/config.py:76-77)."""
+
+    DIMENSION: int = 1024
+
+
+@dataclass
+class Config:
+    """Top-level config (reference: miscc/config.py:9-77).
+
+    TPU-native additions live under names absent from the reference schema and
+    are prefixed TPU_* so reference YAMLs can never collide with them; they are
+    also mergeable from YAML for new-style configs.
+    """
+
+    DATASET_NAME: str = 'birds'
+    EMBEDDING_TYPE: str = 'cnn-rnn'
+    CONFIG_NAME: str = ''
+    DATA_DIR: str = ''
+    GPU_ID: str = '0'
+    CUDA: bool = True
+    WORKERS: int = 6
+    TREE: TreeConfig = field(default_factory=TreeConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    GAN: GanConfig = field(default_factory=GanConfig)
+    TEXT: TextConfig = field(default_factory=TextConfig)
+
+    # --- TPU-native extensions (not present in the reference schema) ---
+    # Compute dtype for conv/matmul ('bfloat16' or 'float32').
+    TPU_COMPUTE_DTYPE: str = 'bfloat16'
+    # Number of data-parallel shards ('auto' = all local devices).
+    TPU_DATA_PARALLEL: int = 0  # 0 => use every available device
+    # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
+    TPU_CAPSULE_ROUTING: str = 'dynamic'
+    TPU_CAPSULE_ITERATIONS: int = 3
+    # Use the fused Pallas TPU kernel for capsule routing when on TPU.
+    TPU_CAPSULE_PALLAS: bool = True
+    # Synthetic data fallback when DATA_DIR has no dataset on disk.
+    TPU_SYNTHETIC_DATA: bool = False
+    # Steps between on-device inception-score prediction batches (the
+    # reference evaluates every other step; cub_trainer_splitz_cap_ca.py:614).
+    TPU_IS_EVERY: int = 2
+
+    # ------------------------------------------------------------------
+    @property
+    def imsize(self) -> int:
+        """Top-stage image size (reference: main.py:109)."""
+        return self.TREE.BASE_SIZE * (self.TREE.SCALE ** (self.TREE.BRANCH_NUM - 1))
+
+    def branch_sizes(self) -> list:
+        """Per-branch image sizes, e.g. [64, 128, 256]."""
+        return [self.TREE.BASE_SIZE * (self.TREE.SCALE ** i)
+                for i in range(self.TREE.BRANCH_NUM)]
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> 'Config':
+        return dataclasses.replace(self, **kw)
+
+
+def _merge_dict_into_dataclass(src: Dict[str, Any], dst: Any, path: str = '') -> None:
+    """Strict recursive merge with the reference's error semantics.
+
+    Reference behaviour (miscc/config.py:80-112): a key absent from the
+    defaults raises KeyError; a type mismatch between the YAML value and the
+    default raises ValueError; nested dicts merge recursively.
+    """
+    if not isinstance(src, dict):
+        return
+    valid = {f.name: f for f in dataclasses.fields(dst)}
+    for k, v in src.items():
+        if k not in valid:
+            raise KeyError('{} is not a valid config key'.format(k))
+        old = getattr(dst, k)
+        if dataclasses.is_dataclass(old):
+            if not isinstance(v, dict):
+                raise ValueError(
+                    'Type mismatch ({} vs. {}) for config key: {}'.format(
+                        type(old), type(v), k))
+            try:
+                _merge_dict_into_dataclass(v, old, path + k + '.')
+            except Exception:
+                print('Error under config key: {}'.format(k))
+                raise
+            continue
+        old_type = type(old)
+        if old_type is not type(v):
+            # Permit the numeric coercions YAML naturally produces, exactly
+            # like the reference permits np.ndarray coercion: int -> float
+            # for float-typed defaults (YAML '2e-4' parses fine but '1.0'
+            # vs int defaults must still error, as in the reference).
+            if old_type is float and isinstance(v, int) and not isinstance(v, bool):
+                v = float(v)
+            else:
+                raise ValueError(
+                    'Type mismatch ({} vs. {}) for config key: {}'.format(
+                        old_type, type(v), k))
+        setattr(dst, k, v)
+
+
+def cfg_from_file(filename: str, base: Config = None) -> Config:
+    """Load a YAML file and merge it into a fresh (or given) Config.
+
+    Mirrors reference ``cfg_from_file`` (miscc/config.py:115-121) but returns
+    the config instead of mutating a module global.
+    """
+    import yaml
+
+    with open(filename, 'r') as f:
+        yaml_cfg = yaml.safe_load(f)
+    out = copy.deepcopy(base) if base is not None else Config()
+    if yaml_cfg:
+        _merge_dict_into_dataclass(yaml_cfg, out)
+    return out
+
+
+def cfg_from_dict(d: Dict[str, Any], base: Config = None) -> Config:
+    out = copy.deepcopy(base) if base is not None else Config()
+    _merge_dict_into_dataclass(d or {}, out)
+    return out
+
+
+# Module-level default instance for CLI convenience (the reference exposes a
+# mutable singleton ``cfg``; miscc/config.py:10). Library code should accept a
+# Config argument instead of importing this.
+cfg = Config()

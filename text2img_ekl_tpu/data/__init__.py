@@ -1,0 +1,4 @@
+from .datasets import TextDataset, ImageFolderDataset, SyntheticTextDataset  # noqa: F401
+from .loader import DataLoader  # noqa: F401
+from .transforms import (  # noqa: F401
+    bbox_crop, build_train_transform, build_eval_transform, multiscale_pyramid)

@@ -1,0 +1,107 @@
+"""Batched, prefetching data loader.
+
+Replaces torch's DataLoader worker processes (main.py:133-135) with a
+thread-pool decode + double-buffered prefetch queue: PIL/numpy release the
+GIL during decode/resize, and the next batch is always being assembled while
+the device steps. The trainer overlaps ``device_put`` onto the data-sharded
+mesh with compute.
+
+Semantics kept from the reference: drop_last batching, reshuffle each epoch,
+one epoch == one pass over the dataset.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def _stack_items(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Collate per-item dicts into a batch dict of stacked arrays."""
+    out: Dict[str, Any] = {}
+    first = items[0]
+    for k, v in first.items():
+        if isinstance(v, list):  # image pyramids
+            out[k] = tuple(
+                np.stack([it[k][i] for it in items]) for i in range(len(v)))
+        elif isinstance(v, np.ndarray) or np.isscalar(v) or isinstance(
+                v, (np.integer, np.floating)):
+            out[k] = np.stack([np.asarray(it[k]) for it in items])
+        else:  # strings/keys
+            out[k] = [it[k] for it in items]
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 prefetch: int = 2, seed: int = 0,
+                 collate_fn: Optional[Callable] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate = collate_fn or _stack_items
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self._seed + self._epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        indices = self._epoch_indices()
+        self._epoch += 1
+        n_batches = len(self)
+        bs = self.batch_size
+
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        batch_idx = indices[b * bs:(b + 1) * bs]
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_idx))
+                        q.put(self.collate(items))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,111 @@
+"""ctypes binding for the native C++ decode pipeline (native/dataloader.cpp).
+
+Builds the shared library on first use (g++ + libjpeg) and caches it next to
+the source. Falls back cleanly: callers should catch ``NativeUnavailable``
+and use the PIL path (data/transforms.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'native')
+_SRC = os.path.join(_NATIVE_DIR, 'dataloader.cpp')
+_SO = os.path.join(_NATIVE_DIR, 'libt2i_dataloader.so')
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    cmd = ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
+           _SRC, '-o', _SO, '-ljpeg', '-lpthread']
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, 'stderr', str(e))
+        raise NativeUnavailable('native loader build failed: %s' % msg)
+    return _SO
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        so = _SO
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+            so = _build()
+        lib = ctypes.CDLL(so)
+        lib.t2i_loader_create.restype = ctypes.c_void_p
+        lib.t2i_loader_create.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_uint64]
+        lib.t2i_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.t2i_decode_batch.restype = ctypes.c_int
+        lib.t2i_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+        _lib = lib
+        return lib
+
+
+class NativeDecoder:
+    """Batched JPEG -> multi-scale [-1,1] float32 pyramids, in C++ threads."""
+
+    def __init__(self, sizes: Sequence[int], num_threads: int = 4,
+                 seed: int = 0):
+        self.sizes = list(sizes)
+        self.lib = get_lib()
+        arr = (ctypes.c_int * len(sizes))(*sizes)
+        oversize = int(self.sizes[-1] * 76 / 64)
+        self.handle = self.lib.t2i_loader_create(
+            num_threads, len(sizes), arr, oversize, seed)
+
+    def __del__(self):
+        if getattr(self, 'handle', None) and getattr(self, 'lib', None):
+            self.lib.t2i_loader_destroy(self.handle)
+            self.handle = None
+
+    def decode_batch(self, paths: Sequence[str],
+                     bboxes: Optional[np.ndarray] = None,
+                     train: bool = True, seed: int = 0) -> List[np.ndarray]:
+        """Returns [branch][n, s, s, 3] float32 arrays in [-1, 1]."""
+        n = len(paths)
+        c_paths = (ctypes.c_char_p * n)(
+            *[p.encode('utf-8') for p in paths])
+        if bboxes is not None:
+            bb = np.ascontiguousarray(bboxes, np.float32)
+            has = np.ones(n, np.uint8)
+        else:
+            bb = np.zeros((n, 4), np.float32)
+            has = np.zeros(n, np.uint8)
+        outs = [np.empty((n, s, s, 3), np.float32) for s in self.sizes]
+        out_ptrs = (ctypes.POINTER(ctypes.c_float) * len(outs))(
+            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+              for o in outs])
+        failures = self.lib.t2i_decode_batch(
+            self.handle, n, c_paths,
+            bb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            has.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            1 if train else 0, seed, out_ptrs)
+        if failures:
+            print('!! native decoder: %d/%d images failed (zero-filled)'
+                  % (failures, n))
+        return outs

@@ -1,0 +1,110 @@
+"""Frechet Inception Distance, on-device activations + host sqrtm.
+
+Port of the reference fid.py: pool_3 activations (fid.py:68-103) come from
+the JAX InceptionV3 on the accelerator; mu/sigma reduce on device; the
+matrix square root runs on host via scipy exactly as the reference does
+(fid.py:105-160), with the same eps-jitter on singular covariances and
+imaginary-component guard.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.inception_v3 import InceptionV3, preprocess_uint8
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
+                               eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) (fid.py:105-160)."""
+    from scipy import linalg
+
+    mu1 = np.atleast_1d(np.asarray(mu1))
+    mu2 = np.atleast_1d(np.asarray(mu2))
+    sigma1 = np.atleast_2d(np.asarray(sigma1))
+    sigma2 = np.atleast_2d(np.asarray(sigma2))
+    assert mu1.shape == mu2.shape
+    assert sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm(
+            (sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError('Imaginary component {}'.format(m))
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def calculate_activation_statistics(
+        activations: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """mu, sigma over pool_3 activations (fid.py:162-187)."""
+    act = np.asarray(activations)
+    mu = np.mean(act, axis=0)
+    sigma = np.cov(act, rowvar=False)
+    return mu, sigma
+
+
+class FIDScorer:
+    """pool_3 activation extractor + FID computation."""
+
+    def __init__(self, variables, num_classes: int = 1000,
+                 batch_size: int = 50):
+        self.model = InceptionV3(num_classes=num_classes)
+        self.variables = variables
+        self.batch_size = batch_size
+
+        def pool3(vars_, images01):
+            # The frozen FID graph takes [0, 255] uint8-style input; the
+            # slim preprocessing maps to [-1, 1].
+            _, ep = self.model.apply(vars_, images01)
+            return ep['pool_3']
+
+        self._pool3 = jax.jit(pool3)
+
+    def activations_uint8(self, images: np.ndarray) -> np.ndarray:
+        """images: NHWC uint8 [0,255] -> [N, 2048] activations."""
+        outs = []
+        for i in range(0, len(images), self.batch_size):
+            batch = jnp.asarray(np.asarray(images[i:i + self.batch_size]))
+            outs.append(np.asarray(
+                self._pool3(self.variables, preprocess_uint8(batch))))
+        return np.concatenate(outs, 0)
+
+    def activations_gan(self, images) -> np.ndarray:
+        """images: NHWC in [-1, 1]."""
+        from ..models.inception_v3 import preprocess_gan_output
+        outs = []
+        for i in range(0, len(images), self.batch_size):
+            batch = jnp.asarray(images[i:i + self.batch_size])
+            outs.append(np.asarray(
+                self._pool3(self.variables, preprocess_gan_output(batch))))
+        return np.concatenate(outs, 0)
+
+    def statistics(self, images: np.ndarray, uint8: bool = True):
+        act = self.activations_uint8(images) if uint8 \
+            else self.activations_gan(images)
+        return calculate_activation_statistics(act)
+
+    def fid_between(self, images1, images2, uint8: bool = True) -> float:
+        mu1, s1 = self.statistics(images1, uint8)
+        mu2, s2 = self.statistics(images2, uint8)
+        return calculate_frechet_distance(mu1, s1, mu2, s2)
+
+    def fid_against_stats(self, images, stats_npz_path: str,
+                          uint8: bool = True) -> float:
+        """Compare against precomputed .npz stats (fid.py:208-219)."""
+        with np.load(stats_npz_path) as f:
+            mu_ref, sigma_ref = f['mu'][:], f['sigma'][:]
+        mu, sigma = self.statistics(images, uint8)
+        return calculate_frechet_distance(mu, sigma, mu_ref, sigma_ref)

@@ -1,0 +1,114 @@
+"""Inception Score, on-device.
+
+Replaces the reference's TF1 session round trip (inception_score.py;
+the per-step GPU->CPU->TF hand-off at cub_trainer_splitz_cap_ca.py:613-623)
+with a jitted JAX InceptionV3 forward on the accelerator that produced the
+images. Supports both IS flavors:
+
+  * fine-tuned      — 50+1-class CUB/flowers checkpoint; the background
+                      logit is sliced off before softmax
+                      (inception_score.py:242),
+  * general         — ImageNet classes (the frozen 2015 graph flavor,
+                      inception_score_general.py).
+
+The split-KL score math is a faithful port of
+cub_trainer_splitz_cap_ca.py:87-98 / inception_score.py:117-160.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.inception_v3 import (
+    InceptionV3, preprocess_gan_output, preprocess_uint8)
+
+
+def compute_inception_score(predictions: np.ndarray,
+                            num_splits: int = 1) -> Tuple[float, float]:
+    """exp of the mean split-KL (cub_trainer_splitz_cap_ca.py:87-98)."""
+    scores = []
+    n = predictions.shape[0]
+    for i in range(num_splits):
+        part = predictions[i * n // num_splits:(i + 1) * n // num_splits, :]
+        kl = part * (np.log(part) -
+                     np.log(np.expand_dims(np.mean(part, 0), 0)))
+        kl = np.mean(np.sum(kl, 1))
+        scores.append(np.exp(kl))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def negative_log_posterior_probability(predictions: np.ndarray,
+                                       num_splits: int = 1):
+    """-log max-prob diagnostic (cub_trainer_splitz_cap_ca.py:100-110)."""
+    scores = []
+    n = predictions.shape[0]
+    for i in range(num_splits):
+        part = predictions[i * n // num_splits:(i + 1) * n // num_splits, :]
+        scores.append(float(np.mean(-1.0 * np.log(np.max(part, 1)))))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+class InceptionScorer:
+    """Stateful scorer: accumulate prediction batches, then score.
+
+    ``variables`` are InceptionV3 flax variables (from the checkpoint
+    converter or random for smoke tests). ``finetuned=True`` slices off the
+    background class before softmax (inception_score.py:242).
+    """
+
+    def __init__(self, variables, num_classes: int = 51,
+                 finetuned: bool = True, batch_size: int = 64):
+        self.model = InceptionV3(num_classes=num_classes)
+        self.variables = variables
+        self.finetuned = finetuned
+        self.batch_size = batch_size
+        self.predictions: List[np.ndarray] = []
+
+        def predict(vars_, images):
+            x = preprocess_gan_output(images)
+            logits, _ = self.model.apply(vars_, x)
+            if finetuned:
+                logits = logits[:, 1:]  # drop background class
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._predict = jax.jit(predict)
+
+    def predict_batch(self, images) -> jnp.ndarray:
+        """images: NHWC in [-1, 1] (GAN output)."""
+        return self._predict(self.variables, images)
+
+    def predict_uint8(self, images: np.ndarray) -> jnp.ndarray:
+        """images: NHWC uint8 [0, 255] (directory eval path)."""
+        x = preprocess_uint8(jnp.asarray(images))
+        logits, _ = self.model.apply(self.variables, x)
+        if self.finetuned:
+            logits = logits[:, 1:]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def add(self, images) -> None:
+        self.predictions.append(np.asarray(self.predict_batch(images)))
+
+    @property
+    def count(self) -> int:
+        return sum(p.shape[0] for p in self.predictions)
+
+    def score(self, num_splits: int = 1,
+              reset: bool = True) -> Tuple[float, float]:
+        preds = np.concatenate(self.predictions, 0)
+        if reset:
+            self.predictions = []
+        return compute_inception_score(preds, num_splits)
+
+    def score_images(self, images: np.ndarray,
+                     num_splits: int = 10) -> Tuple[float, float]:
+        """Directory-eval path: uint8 images -> IS
+        (inception_score.py:117-160)."""
+        preds = []
+        for i in range(0, len(images), self.batch_size):
+            batch = np.asarray(images[i:i + self.batch_size])
+            preds.append(np.asarray(self.predict_uint8(batch)))
+        return compute_inception_score(np.concatenate(preds, 0), num_splits)

@@ -1,0 +1,75 @@
+"""Orbax checkpointing of the full TrainState.
+
+The reference saves only ``netG.state_dict()`` and drops optimizer state on
+resume (cub_trainer_splitz_cap_ca.py:662-667, SURVEY.md section 5). Here the
+whole TrainState (G/D params, BN stats, Adam states, step) round-trips, and
+the epoch-in-filename convention (netG_epoch%d) is preserved so resume can
+parse the position the same way (cub_trainer_splitz_cap_ca.py:170-184).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abspath(p: str) -> str:
+    return os.path.abspath(os.path.expanduser(p))
+
+
+def save_train_state(path: str, state) -> None:
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(_abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, target):
+    """Restore into the structure of ``target`` (an abstract or concrete
+    TrainState)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(_abspath(path), target=target)
+
+
+def parse_epoch_from_path(path: str) -> int:
+    """'netG_epoch123' / 'netG_123.pth'-style suffix -> 124 (next count),
+    mirroring cub_trainer_splitz_cap_ca.py:175-178."""
+    m = re.search(r'(\d+)(?:\.[a-z]+)?$', path.rstrip('/'))
+    return int(m.group(1)) + 1 if m else 0
+
+
+class CheckpointManager:
+    """Epoch-indexed checkpoint directory: <model_dir>/netG_epoch<N>."""
+
+    def __init__(self, model_dir: str):
+        self.model_dir = _abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+
+    def path(self, epoch: int) -> str:
+        return os.path.join(self.model_dir, 'state_epoch%d' % epoch)
+
+    def save(self, state, epoch: int) -> str:
+        p = self.path(epoch)
+        save_train_state(p, state)
+        return p
+
+    def latest(self) -> Optional[str]:
+        if not os.path.isdir(self.model_dir):
+            return None
+        best = None
+        best_n = -1
+        for name in os.listdir(self.model_dir):
+            m = re.match(r'state_epoch(\d+)$', name)
+            if m and int(m.group(1)) > best_n:
+                best_n = int(m.group(1))
+                best = os.path.join(self.model_dir, name)
+        return best
+
+    def restore(self, target, path: Optional[str] = None):
+        p = path or self.latest()
+        if p is None:
+            return None
+        return restore_train_state(p, target)

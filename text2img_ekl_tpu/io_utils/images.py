@@ -1,0 +1,80 @@
+"""Image grid / sample savers.
+
+Numpy equivalents of the torchvision vutils calls the reference makes:
+``make_grid``/``save_image`` per-epoch grids (cub_trainer_splitz_cap_ca.py:
+231-264) and the single-sample saver with the reference's filename scheme
+'%s_%d_class%d_sid%d_nid%d.png' (cub_trainer_splitz_cap_ca.py:758-774).
+Inputs are NHWC float in [-1, 1].
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+
+def _to_uint8(img: np.ndarray, normalize: bool = True) -> np.ndarray:
+    if normalize:
+        lo, hi = img.min(), img.max()
+        if hi > lo:
+            img = (img - lo) / (hi - lo)
+        else:
+            img = np.zeros_like(img)
+    else:
+        img = (img + 1.0) / 2.0
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def make_grid(images: np.ndarray, nrow: int = 8,
+              padding: int = 2) -> np.ndarray:
+    """[N, H, W, C] -> grid [gh, gw, C] uint8-ready float, vutils-style."""
+    n, h, w, c = images.shape
+    ncols = min(nrow, n)
+    nrows = (n + ncols - 1) // ncols
+    grid = np.zeros((nrows * (h + padding) + padding,
+                     ncols * (w + padding) + padding, c),
+                    dtype=images.dtype)
+    for idx in range(n):
+        r, col = divmod(idx, ncols)
+        y = r * (h + padding) + padding
+        x = col * (w + padding) + padding
+        grid[y:y + h, x:x + w] = images[idx]
+    return grid
+
+
+def save_image_grid(images: np.ndarray, path: str, nrow: int = 8,
+                    normalize: bool = True) -> None:
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    grid = make_grid(np.asarray(images), nrow)
+    Image.fromarray(_to_uint8(grid, normalize)).save(path)
+
+
+def save_single_images(images: np.ndarray, filenames: Sequence[str],
+                       save_dir: str, split_dir: str, sentence_id: int,
+                       classes: Sequence[int], imsize: int,
+                       noise_id: int) -> None:
+    """Reference naming: <dir>/single_samples/<key>_<imsize>_class<c>_
+    sid<s>_nid<n>.png (cub_trainer_splitz_cap_ca.py:758-774)."""
+    for i in range(images.shape[0]):
+        s_tmp = '%s/single_samples/%s' % (save_dir, filenames[i])
+        folder = s_tmp[:s_tmp.rfind('/')]
+        os.makedirs(folder, exist_ok=True)
+        fullpath = '%s_%d_class%d_sid%d_nid%d.png' % (
+            s_tmp, imsize, int(classes[i]), sentence_id, noise_id)
+        img = np.clip((images[i] + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(fullpath)
+
+
+def save_super_images(images_list, filenames: Sequence[str], save_dir: str,
+                      split_dir: str, imsize: int) -> None:
+    """10-caption super grids (cub_trainer_splitz_cap_ca.py:734-756)."""
+    batch_size = images_list[0].shape[0]
+    for i in range(batch_size):
+        s_tmp = '%s/super/%s/%s' % (save_dir, split_dir, filenames[i])
+        folder = s_tmp[:s_tmp.rfind('/')]
+        os.makedirs(folder, exist_ok=True)
+        rows = np.stack([imgs[i] for imgs in images_list])
+        save_image_grid(rows, '%s_%d.png' % (s_tmp, imsize), nrow=10)

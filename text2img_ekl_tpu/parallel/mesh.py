@@ -1,0 +1,48 @@
+"""Device mesh and sharding policy.
+
+The reference's only parallelism is single-process torch DataParallel
+(trainer.py:113,140; main.py:132-135) — replicate the nets, scatter the
+batch, gather outputs. The TPU-native equivalent is one
+``jax.sharding.Mesh`` with a ``data`` axis: parameters replicated, batch
+sharded over the axis, gradient all-reduce as an XLA ``psum`` riding ICI
+(multi-host spans DCN over the same axis via jax.distributed).
+
+The train step runs under ``shard_map`` so BatchNorm statistics stay
+per-replica — faithful to DataParallel's per-GPU statistics — and the only
+collectives are the gradient/statistics pmeans.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+
+
+def make_mesh(num_devices: int = 0,
+              devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """A 1-D data-parallel mesh over the given (or all local) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch pytree onto the mesh, sharded on dim 0."""
+    sh = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

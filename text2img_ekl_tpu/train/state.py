@@ -1,0 +1,84 @@
+"""Full training state as one pytree.
+
+The reference checkpoints only the generator's weights and loses optimizer
+state on resume (SURVEY.md section 5; cub_trainer_splitz_cap_ca.py:662-667).
+Here the complete state — G/D params, BatchNorm statistics, both Adam states
+and the step counter — is a single flax struct, checkpointable with orbax
+and donate-able through the fused train step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam(lr, betas=(0.5, 0.999)) as the reference configures it
+    (cub_trainer_splitz_cap_ca.py:199-215)."""
+    return optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    g_params: Any
+    g_batch_stats: Any
+    g_opt_state: Any
+    d_params: Tuple[Any, ...]
+    d_batch_stats: Tuple[Any, ...]
+    d_opt_states: Tuple[Any, ...]
+
+
+def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
+    """Initialize G/D variables and optimizer states for a config.
+
+    ``cond_width`` is the width of the condition code fed to the joint
+    discriminators (cat of mus under CAT_Z='concat').
+    """
+    bs = 2  # init shapes don't affect params; keep tracing cheap
+    sizes = cfg.branch_sizes()
+    k_g, k_d, k_r = jax.random.split(rng, 3)
+
+    noise = jnp.zeros((bs, cfg.GAN.Z_DIM), jnp.float32)
+    rngs = {'params': k_g, 'reparam': k_r, 'cls_prior': k_r}
+    g_init = jax.jit(functools.partial(G.init, train=True,
+                                       method='init_all'))
+    if type(G).__name__ == 'GNet':
+        txt = jnp.zeros((bs, cfg.TEXT.DIMENSION), jnp.float32)
+        g_vars = g_init(rngs, noise, txt)
+    elif type(G).__name__ == 'CondGNet':
+        cond = jnp.zeros((bs, G.cond_dim), jnp.float32)
+        g_vars = g_init(rngs, noise, cond)
+    else:  # CondGNetCatZ / CondGNetCatZCA
+        sen = jnp.zeros((bs, cfg.TEXT.DIMENSION), jnp.float32)
+        cls = jnp.zeros((bs, cfg.GAN.ENTITY_DIM), jnp.float32)
+        g_vars = g_init(rngs, noise, sen, cls)
+
+    d_params, d_stats, d_opts = [], [], []
+    for D, size in zip(Ds, sizes):
+        img = jnp.zeros((bs, size, size, 3), jnp.float32)
+        cond = jnp.zeros((bs, cond_width), jnp.float32)
+        k_d, k = jax.random.split(k_d)
+        d_vars = jax.jit(functools.partial(D.init, train=True))(
+            {'params': k}, img, cond)
+        d_params.append(d_vars['params'])
+        d_stats.append(d_vars.get('batch_stats', {}))
+        d_opts.append(make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR).init(
+            d_vars['params']))
+
+    g_opt = make_optimizer(cfg.TRAIN.GENERATOR_LR).init(g_vars['params'])
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_vars['params'],
+        g_batch_stats=g_vars.get('batch_stats', {}),
+        g_opt_state=g_opt,
+        d_params=tuple(d_params),
+        d_batch_stats=tuple(d_stats),
+        d_opt_states=tuple(d_opts),
+    )

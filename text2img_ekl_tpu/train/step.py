@@ -1,0 +1,277 @@
+"""The fused G+D training step.
+
+The reference spends a step as: G forward, per-stage D forward x3 + backward
++ Adam, then G loss through the *updated* Ds + backward + Adam
+(cub_trainer_splitz_cap_ca.py:544-625), with DataParallel scatter/gather
+around every forward and Python between every phase.
+
+Here the whole step — G forward, both D updates, G update — is ONE compiled
+function under ``shard_map`` over the data mesh axis:
+
+  * the generator forward runs exactly once; its VJP is captured with
+    ``jax.vjp`` so the G update pulls gradients back through the saved
+    linearization instead of re-running the forward (the reference's
+    autograd graph reuse, minus the framework overhead);
+  * discriminators see stop_gradient'ed fakes and detached condition codes,
+    exactly as the reference detaches (cub_trainer_splitz_cap_ca.py:418-420);
+  * the G loss runs the updated D params, matching the reference's
+    D-before-G ordering;
+  * BatchNorm uses per-replica batch statistics (DataParallel semantics) and
+    running averages are pmean'd across the mesh at the end of the step;
+  * gradient all-reduce is a single pmean per network, riding ICI.
+
+Two trainer personalities are config-driven strategies, not two files
+(SURVEY.md section 7.7): the split-z CA strategy (CUB/flowers,
+cub_trainer_splitz_cap_ca.py) and the single-cond strategy (COCO,
+trainer.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.generator import CondGNet, CondGNetCatZ, CondGNetCatZCA, GNet
+from ..parallel.mesh import DATA_AXIS
+from .losses import bce, ce_loss, kl_loss
+from .state import TrainState, make_optimizer
+
+
+def fuse_mu(mu1, mu2, cat_z: str):
+    """Condition code for D: cat/product/sum of the two mus
+    (cub_trainer_splitz_cap_ca.py:577-582)."""
+    if cat_z == 'concat':
+        return jnp.concatenate([mu1, mu2], axis=1)
+    if cat_z == 'product':
+        return mu1 * mu2
+    if cat_z == 'sum':
+        return mu1 + mu2
+    raise ValueError(cat_z)
+
+
+def cond_code_width(cfg) -> int:
+    """Actual width of the D condition code for a config."""
+    if cfg.DATASET_NAME == 'coco':
+        return cfg.GAN.MANIFD_DIM
+    if cfg.TRAIN.CAT_Z == 'concat':
+        return cfg.GAN.EMBEDDING_DIM + cfg.GAN.MANIFD_DIM
+    return cfg.GAN.EMBEDDING_DIM
+
+
+def make_train_step(cfg, G, Ds, mesh: Mesh = None):
+    """Build the fused, jitted train step.
+
+    Returns ``step_fn(state, batch, rng) -> (new_state, metrics)``. ``batch``
+    is a dict with keys:
+      real:   tuple of [B, s, s, 3] per branch (in [-1, 1])
+      wrong:  tuple of [B, s, s, 3] per branch
+      txt:    [B, TEXT.DIMENSION]           (split-z strategies)
+      cls_onehot: [B, ENTITY_DIM]           (split-z strategies)
+      cond:   [B, cond_dim]                 (single-cond strategy)
+      real_cp: [B, ENTITY_DIM + 1]          class targets (one-hot or soft)
+    """
+    num_ds = len(Ds)
+    uncond_coeff = float(cfg.TRAIN.COEFF.UNCOND_LOSS)
+    kl_coeff = float(cfg.TRAIN.COEFF.KL)
+    cat_z = cfg.TRAIN.CAT_Z
+    z_dim = cfg.GAN.Z_DIM
+    entity_p1 = cfg.GAN.ENTITY_DIM + 1
+    g_tx = make_optimizer(cfg.TRAIN.GENERATOR_LR)
+    d_tx = make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR)
+    single_cond = isinstance(G, CondGNet)
+
+    def pmean(x):
+        if mesh is None:
+            return x
+        return jax.lax.pmean(x, DATA_AXIS)
+
+    def local_step(state: TrainState, batch: Dict[str, Any], rng):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        bsz = batch['real'][0].shape[0]
+        k_noise, k_reparam, k_prior = jax.random.split(rng, 3)
+        noise = jax.random.normal(k_noise, (bsz, z_dim), jnp.float32)
+        rngs = {'reparam': k_reparam, 'cls_prior': k_prior}
+        ones = jnp.ones((bsz,), jnp.float32)
+        zeros = jnp.zeros((bsz,), jnp.float32)
+        real_cp = batch['real_cp']
+        fake_cp = jnp.zeros((bsz, entity_p1), jnp.float32).at[:, -1].set(1.0)
+
+        # ---------------- Phase 1: generator forward (once), VJP saved ----
+        def gen_fn(pg):
+            gvars = {'params': pg, 'batch_stats': state.g_batch_stats}
+            if single_cond:
+                out, gstate = G.apply(gvars, noise, batch['cond'], train=True,
+                                      rngs=rngs, mutable=['batch_stats'])
+                hcodes, mu, logvar, std = out
+                mus, logvars = (mu,), (logvar,)
+                mu_d = mu
+            else:
+                out, gstate = G.apply(gvars, noise, batch['txt'],
+                                      batch['cls_onehot'], train=True,
+                                      rngs=rngs, mutable=['batch_stats'])
+                hcodes, mu1, mu2, lv1, lv2, std1, std2 = out
+                mus, logvars = (mu1, mu2), (lv1, lv2)
+                mu_d = fuse_mu(mu1, mu2, cat_z)
+            imgs = G.apply(gvars, hcodes, method='image')
+            return (tuple(imgs), mu_d, mus, logvars), gstate['batch_stats']
+
+        gen_outs, g_vjp, new_g_bs = jax.vjp(gen_fn, state.g_params,
+                                            has_aux=True)
+        imgs, mu_d, mus, logvars = gen_outs
+        mu_sg = jax.lax.stop_gradient(mu_d)
+
+        # ---------------- Phase 2: D updates (real/wrong/fake) ------------
+        new_d_params: List[Any] = []
+        new_d_bs: List[Any] = []
+        new_d_opts: List[Any] = []
+        m = {}
+        errDs = errDs_match = errDs_uncond = errDs_cls = 0.0
+        for i in range(num_ds):
+            D = Ds[i]
+            fake_sg = jax.lax.stop_gradient(imgs[i])
+
+            def d_loss_fn(pd, i=i, D=D, fake_sg=fake_sg):
+                stats = state.d_batch_stats[i]
+                rl, s = D.apply({'params': pd, 'batch_stats': stats},
+                                batch['real'][i], mu_sg, train=True,
+                                mutable=['batch_stats'])
+                wl, s = D.apply({'params': pd, 'batch_stats': s['batch_stats']},
+                                batch['wrong'][i], mu_sg, train=True,
+                                mutable=['batch_stats'])
+                fl, s = D.apply({'params': pd, 'batch_stats': s['batch_stats']},
+                                fake_sg, mu_sg, train=True,
+                                mutable=['batch_stats'])
+                errD_real = bce(rl[0], ones)
+                errD_wrong = bce(wl[0], zeros)
+                errD_fake = bce(fl[0], zeros)
+                if len(rl) > 1 and uncond_coeff > 0:
+                    errD_match = errD_real + errD_wrong + errD_fake
+                    errD_uncond = uncond_coeff * (
+                        bce(rl[1], ones) + bce(wl[1], ones) + bce(fl[1], zeros))
+                    errD_cls = ce_loss(rl[2], real_cp) + ce_loss(fl[2], fake_cp)
+                    errD = errD_match + errD_uncond + errD_cls
+                else:
+                    errD_match = errD_real + 0.5 * (errD_wrong + errD_fake)
+                    errD_uncond = errD_cls = jnp.zeros(())
+                    errD = errD_match
+                return errD, (s['batch_stats'],
+                              (errD_match, errD_uncond, errD_cls))
+
+            (errD, (d_bs, parts)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(state.d_params[i])
+            d_grads = pmean(d_grads)
+            updates, opt = d_tx.update(d_grads, state.d_opt_states[i],
+                                       state.d_params[i])
+            new_d_params.append(jax.tree.map(
+                lambda p, u: p + u, state.d_params[i], updates))
+            new_d_bs.append(d_bs)
+            new_d_opts.append(opt)
+            errDs += errD
+            errDs_match += parts[0]
+            errDs_uncond += parts[1]
+            errDs_cls += parts[2]
+
+        # ---------------- Phase 3: G loss through the updated Ds ----------
+        def g_loss_fn(outs):
+            imgs_, mu_d_, mus_, logvars_ = outs
+            match = uncond = cls_ = 0.0
+            final_bs = []
+            for i in range(num_ds):
+                o, s = Ds[i].apply(
+                    {'params': new_d_params[i], 'batch_stats': new_d_bs[i]},
+                    imgs_[i], mu_d_, train=True, mutable=['batch_stats'])
+                match += bce(o[0], ones)
+                if len(o) > 1 and uncond_coeff > 0:
+                    uncond += uncond_coeff * bce(o[1], ones)
+                    cls_ += ce_loss(o[2], real_cp)
+                final_bs.append(s['batch_stats'])
+            kls = [kl_loss(mu, lv) for mu, lv in zip(mus_, logvars_)]
+            total = match + uncond + cls_ + sum(kls) * kl_coeff
+            return total, (match, uncond, cls_, tuple(kls), tuple(final_bs))
+
+        (errGs, (g_match, g_uncond, g_cls, kls, final_d_bs)), out_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(gen_outs)
+        (g_grads,) = g_vjp(out_grads)
+        g_grads = pmean(g_grads)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state,
+                                       state.g_params)
+        new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
+                                    g_updates)
+
+        # Per-replica running stats diverge across shards; keep replicas
+        # consistent (and deterministic) by averaging.
+        new_g_bs = pmean(new_g_bs)
+        final_d_bs = pmean(tuple(final_d_bs))
+
+        new_state = TrainState(
+            step=state.step + 1,
+            g_params=new_g_params,
+            g_batch_stats=new_g_bs,
+            g_opt_state=g_opt,
+            d_params=tuple(new_d_params),
+            d_batch_stats=tuple(final_d_bs),
+            d_opt_states=tuple(new_d_opts),
+        )
+        metrics = {
+            'errD': errDs, 'errD_match': errDs_match,
+            'errD_uncond': errDs_uncond, 'errD_cls': errDs_cls,
+            'errG': errGs, 'errG_match': g_match, 'errG_uncond': g_uncond,
+            'errG_cls': g_cls,
+            'kl_sen': kls[0],
+            'kl_cls': kls[1] if len(kls) > 1 else jnp.zeros(()),
+        }
+        metrics = {k: pmean(jnp.asarray(v, jnp.float32))
+                   for k, v in metrics.items()}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,))
+
+    batch_spec = {
+        'real': (P(DATA_AXIS),) * num_ds,
+        'wrong': (P(DATA_AXIS),) * num_ds,
+        'real_cp': P(DATA_AXIS),
+    }
+    if single_cond:
+        batch_spec['cond'] = P(DATA_AXIS)
+    else:
+        batch_spec['txt'] = P(DATA_AXIS)
+        batch_spec['cls_onehot'] = P(DATA_AXIS)
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_sample_fn(cfg, G, mesh: Mesh = None, train_mode: bool = False):
+    """Jitted sampling: (g_variables, noise, cond args...) -> images.
+
+    ``train_mode=False`` uses BatchNorm running averages, matching
+    netG.eval() under cfg.TEST.EVAL_MODE (cub_trainer_splitz_cap_ca.py:817).
+    """
+    single_cond = isinstance(G, CondGNet)
+    uncond = isinstance(G, GNet)
+
+    def sample(g_variables, rng, noise, *cond_args):
+        k_rep, k_prior = jax.random.split(rng)
+        rngs = {'reparam': k_rep, 'cls_prior': k_prior}
+        kw = dict(train=train_mode, rngs=rngs)
+        if train_mode:
+            out, _ = G.apply(g_variables, noise, *cond_args,
+                             mutable=['batch_stats'], **kw)
+        else:
+            out = G.apply(g_variables, noise, *cond_args, **kw)
+        hcodes = out[0]
+        imgs = G.apply(g_variables, hcodes, method='image')
+        return tuple(imgs)
+
+    return jax.jit(sample)

@@ -1,0 +1,311 @@
+"""Training/eval orchestration.
+
+The TPU-native counterpart of the reference trainers
+(cub_trainer_splitz_cap_ca.py:268-911 and trainer.py:246-838), as ONE
+config-driven class:
+
+  * builds G + per-branch joint Ds (load_network,
+    cub_trainer_splitz_cap_ca.py:113-196),
+  * runs the fused train step over the data mesh (replacing DataParallel),
+  * accumulates on-device Inception predictions every ``TPU_IS_EVERY`` steps
+    and scores when >= 3000 images (cub_trainer_splitz_cap_ca.py:613-696),
+  * saves epoch image grids, epoch snapshots at SNAPSHOT_INTERVAL and every
+    epoch > 199, and IS-gated "good model" checkpoints with the reference's
+    thresholds (cub_trainer_splitz_cap_ca.py:658-696),
+  * ``evaluate`` re-creates the sampling loop: 10 captions x sample_num
+    noise draws per test image, optional CLS_PRIOR, single images or 256px
+    super grids (cub_trainer_splitz_cap_ca.py:776-911).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import DataLoader, SyntheticTextDataset, TextDataset
+from ..data.transforms import build_eval_transform, build_train_transform
+from ..io_utils import (CheckpointManager, MetricsLogger, save_image_grid,
+                        save_single_images)
+from ..io_utils.images import save_super_images
+from ..models import build_discriminators, build_generator
+from ..parallel import make_mesh, shard_batch
+from .state import create_train_state
+from .step import cond_code_width, make_sample_fn, make_train_step
+
+# IS save-gates (cub_trainer_splitz_cap_ca.py:670-674)
+IS_THRESHOLD_COCO = 6.0
+IS_THRESHOLD_CUB_GENERAL = 5.5
+IS_THRESHOLD_CUB_FINETUNED = 3.4
+
+
+class CondGANTrainer:
+    def __init__(self, cfg: Config, output_dir: str, data_loader=None,
+                 eval_data_loader=None):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        if cfg.TRAIN.FLAG:
+            self.model_dir = os.path.join(output_dir, 'Model')
+            self.image_dir = os.path.join(output_dir, 'Image')
+            self.log_dir = os.path.join(output_dir, 'Log')
+            for d in (self.model_dir, self.image_dir, self.log_dir):
+                os.makedirs(d, exist_ok=True)
+            self.logger = MetricsLogger(self.log_dir)
+            self.ckpt = CheckpointManager(self.model_dir)
+
+        self.mesh = make_mesh(cfg.TPU_DATA_PARALLEL)
+        self.num_shards = self.mesh.devices.size
+        self.batch_size = cfg.TRAIN.BATCH_SIZE * self.num_shards
+        self.data_loader = data_loader or self._build_loader()
+        self.num_batches = len(self.data_loader)
+
+        self.cond_width = cond_code_width(cfg)
+        self.G = build_generator(cfg, train_flag=cfg.TRAIN.FLAG)
+        self.Ds = build_discriminators(cfg, self.cond_width)
+        self.is_coco = cfg.DATASET_NAME == 'coco'
+
+    # ------------------------------------------------------------------
+    def _build_loader(self):
+        cfg = self.cfg
+        split = 'train' if cfg.TRAIN.FLAG else 'test'
+        transform = (build_train_transform(cfg.imsize) if cfg.TRAIN.FLAG
+                     else build_eval_transform(cfg.imsize))
+        has_data = cfg.DATA_DIR and os.path.isdir(
+            os.path.join(cfg.DATA_DIR, split))
+        if cfg.TPU_SYNTHETIC_DATA or not has_data:
+            if not cfg.TPU_SYNTHETIC_DATA:
+                print('!! DATA_DIR %r has no %s split — using synthetic data'
+                      % (cfg.DATA_DIR, split))
+            ds = SyntheticTextDataset(
+                num_items=max(512, self.batch_size * 4),
+                base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
+                entity_dim=cfg.GAN.ENTITY_DIM, text_dim=cfg.TEXT.DIMENSION,
+                is_coco=self.is_coco if hasattr(self, 'is_coco')
+                else cfg.DATASET_NAME == 'coco',
+                train_pairs=cfg.TRAIN.FLAG)
+        else:
+            ds = TextDataset(
+                cfg.DATA_DIR, split, cfg.EMBEDDING_TYPE,
+                base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
+                entity_dim=cfg.GAN.ENTITY_DIM, train_pairs=cfg.TRAIN.FLAG,
+                transform=transform)
+        return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
+                          drop_last=True, num_workers=int(cfg.WORKERS))
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host batch dict -> the train step's input contract."""
+        cfg = self.cfg
+        n1 = cfg.GAN.ENTITY_DIM + 1
+        b = {
+            'real': tuple(np.asarray(x, np.float32)
+                          for x in host_batch['imgs']),
+            'wrong': tuple(np.asarray(x, np.float32)
+                           for x in host_batch['wrong_imgs']),
+        }
+        emb = np.asarray(host_batch['embedding'], np.float32)
+        cls = host_batch['cls']
+        if self.is_coco:
+            multi = np.asarray(cls, np.float32)  # [B, ENTITY+1] multi-hot
+            b['cond'] = np.concatenate([emb, multi], axis=1)
+            denom = np.maximum(multi.sum(1, keepdims=True), 1.0)
+            b['real_cp'] = multi / denom  # trainer.py:518
+        else:
+            labels = np.asarray(cls, np.int64) - 1  # 1-based -> 0-based
+            b['txt'] = emb
+            b['cls_onehot'] = np.eye(
+                cfg.GAN.ENTITY_DIM, dtype=np.float32)[labels]
+            b['real_cp'] = np.eye(n1, dtype=np.float32)[labels]
+        return shard_batch(self.mesh, b)
+
+    # ------------------------------------------------------------------
+    def train(self, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        state = create_train_state(cfg, self.G, self.Ds,
+                                   jax.random.PRNGKey(0), self.cond_width)
+        start_epoch = 0
+        latest = self.ckpt.latest()
+        if latest is not None:
+            state = self.ckpt.restore(state, latest)
+            start_epoch = int(np.asarray(state.step)) // max(
+                1, self.num_batches)
+            print('Resumed from %s (epoch %d)' % (latest, start_epoch))
+        step_fn = make_train_step(cfg, self.G, self.Ds, self.mesh)
+
+        scorer = self._make_is_scorer() if not cfg.TRAIN.BIG_EVAL else None
+        threshold = (IS_THRESHOLD_COCO if self.is_coco
+                     else (IS_THRESHOLD_CUB_GENERAL if cfg.TRAIN.GENERAL_IS
+                           else IS_THRESHOLD_CUB_FINETUNED))
+
+        rng = jax.random.PRNGKey(1)
+        count = int(np.asarray(state.step))
+        total_steps = 0
+        for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
+            start_t = time.time()
+            metrics = {}
+            last_batch = None
+            for step_i, host_batch in enumerate(self.data_loader):
+                batch = self._device_batch(host_batch)
+                last_batch = batch
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, batch, step_rng)
+                count += 1
+                total_steps += 1
+
+                if scorer is not None and step_i % cfg.TPU_IS_EVERY == 1:
+                    fakes = self._sample_like(state, batch, step_rng)
+                    scorer.add(fakes[-1])
+                if count % 100 == 0:
+                    self.logger.log_scalars(
+                        count, {k: float(v) for k, v in metrics.items()})
+                if max_steps is not None and total_steps >= max_steps:
+                    break
+
+            elapsed = time.time() - start_t
+            m = {k: float(v) for k, v in metrics.items()}
+            print('[%d/%d][BN=%d][%d stages]\n'
+                  '  Loss_D_all: %.2f match: %.2f uncond: %.2f cls: %.2f\n'
+                  '  Loss_G_all: %.2f match: %.2f uncond: %.2f cls: %.2f\n'
+                  '  KL_sen: %.2f KL_cls: %.2f  Time: %.2fs'
+                  % (epoch, cfg.TRAIN.MAX_EPOCH, self.num_batches,
+                     len(self.Ds), m.get('errD', 0), m.get('errD_match', 0),
+                     m.get('errD_uncond', 0), m.get('errD_cls', 0),
+                     m.get('errG', 0), m.get('errG_match', 0),
+                     m.get('errG_uncond', 0), m.get('errG_cls', 0),
+                     m.get('kl_sen', 0), m.get('kl_cls', 0), elapsed))
+
+            if last_batch is not None:
+                self._save_epoch_images(state, last_batch, rng, epoch)
+            interval = cfg.TRAIN.SNAPSHOT_INTERVAL
+            if epoch % interval == interval - 1 or epoch > 199:
+                self.ckpt.save(state, epoch)
+                print('Snapshot: save model ok')
+
+            if scorer is not None and scorer.count >= 3000:
+                mean, std = scorer.score(num_splits=1)
+                print('Epoch%d IS: %.3f +- %.3f' % (epoch, mean, std))
+                self.logger.log_scalars(count, {'inception_score': mean})
+                if mean > threshold:
+                    self.ckpt.save(state, epoch)
+                    print('Saved good model')
+
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        return state
+
+    def _make_is_scorer(self):
+        """On-device IS predictions; random weights unless a converted
+        checkpoint is present (scores then are relative-only)."""
+        from ..eval.convert_tf import random_inception_variables
+        from ..eval.inception_score import InceptionScorer
+        num_classes = 1000 if self.cfg.TRAIN.GENERAL_IS else 51
+        ckpt = os.environ.get('T2I_INCEPTION_CKPT', '')
+        if ckpt and os.path.exists(ckpt + '.npz'):
+            import numpy as np_
+            raise NotImplementedError('npz inception weights loading TBD')
+        variables = random_inception_variables(
+            jax.random.PRNGKey(7), num_classes)
+        print('!! Inception weights are random (no checkpoint found): '
+              'in-training IS is a relative signal only')
+        return InceptionScorer(variables, num_classes,
+                               finetuned=not self.cfg.TRAIN.GENERAL_IS)
+
+    def _sample_like(self, state, batch, rng):
+        """Fake images for the IS stream, using current params (the
+        reference reuses the step's fakes; a fresh draw is equivalent)."""
+        g_vars = {'params': state.g_params,
+                  'batch_stats': state.g_batch_stats}
+        if not hasattr(self, '_train_sampler'):
+            self._train_sampler = make_sample_fn(
+                self.cfg, self.G, self.mesh, train_mode=True)
+        bsz = batch['real'][0].shape[0]
+        noise = jax.random.normal(rng, (bsz, self.cfg.GAN.Z_DIM))
+        if self.is_coco:
+            return self._train_sampler(g_vars, rng, noise, batch['cond'])
+        return self._train_sampler(g_vars, rng, noise, batch['txt'],
+                                   batch['cls_onehot'])
+
+    def _save_epoch_images(self, state, batch, rng, epoch):
+        num = min(self.cfg.TRAIN.VIS_COUNT, batch['real'][-1].shape[0])
+        real = np.asarray(batch['real'][-1])[:num]
+        save_image_grid(real, '%s/real_samples.png' % self.image_dir)
+        fakes = self._sample_like(state, batch, rng)
+        for i, f in enumerate(fakes):
+            save_image_grid(np.asarray(f)[:num],
+                            '%s/epoch_%03d_fake_samples%d.png'
+                            % (self.image_dir, epoch, i))
+
+    # ------------------------------------------------------------------
+    def evaluate(self, split_dir: str = 'test',
+                 state=None, max_batches: Optional[int] = None):
+        """Sampling loop (cub_trainer_splitz_cap_ca.py:776-911)."""
+        cfg = self.cfg
+        if state is None:
+            if not cfg.TRAIN.NET_G:
+                print('Error: the path for models is not found!')
+                return
+            abstract = create_train_state(cfg, self.G, self.Ds,
+                                          jax.random.PRNGKey(0),
+                                          self.cond_width)
+            from ..io_utils.checkpoint import restore_train_state
+            state = restore_train_state(cfg.TRAIN.NET_G, abstract)
+        g_vars = {'params': state.g_params,
+                  'batch_stats': state.g_batch_stats}
+        sampler = make_sample_fn(cfg, self.G, self.mesh,
+                                 train_mode=not cfg.TEST.EVAL_MODE)
+
+        mode = 'evalmode' if cfg.TEST.EVAL_MODE else 'trainmode'
+        save_dir = os.path.join(
+            self.output_dir, 'eval', 'Testset_%s_fixednoise' % mode)
+        embedding_dim = 10
+        sample_num = 1  # standard StackGAN eval protocol
+        rng = jax.random.PRNGKey(100)  # manualSeed=100 at eval (main.py:88)
+
+        count = 0
+        for step, data in enumerate(self.data_loader):
+            if max_batches is not None and step >= max_batches:
+                break
+            embeddings = np.asarray(data['embeddings'], np.float32)
+            cls = np.asarray(data['cls'])
+            if not self.is_coco:
+                cls0 = cls - 1
+                cls_onehot = np.eye(cfg.GAN.ENTITY_DIM,
+                                    dtype=np.float32)[cls0]
+            bsz = embeddings.shape[0]
+            rng, k_noise = jax.random.split(rng)
+            noise = jax.random.normal(k_noise, (bsz, cfg.GAN.Z_DIM))
+
+            fake_img_list = []
+            for i in range(min(embedding_dim, embeddings.shape[1])):
+                for j in range(sample_num):
+                    if sample_num > 1:
+                        rng, k_noise = jax.random.split(rng)
+                        noise = jax.random.normal(
+                            k_noise, (bsz, cfg.GAN.Z_DIM))
+                    rng, k_s = jax.random.split(rng)
+                    emb_i = jnp.asarray(embeddings[:, i, :])
+                    if self.is_coco:
+                        cond = jnp.concatenate(
+                            [emb_i, jnp.asarray(cls, jnp.float32)], axis=1)
+                        fakes = sampler(g_vars, k_s, noise, cond)
+                    else:
+                        fakes = sampler(g_vars, k_s, noise, emb_i,
+                                        jnp.asarray(cls_onehot))
+                    if cfg.TEST.B_EXAMPLE:
+                        fake_img_list.append(np.asarray(fakes[-1]))
+                    else:
+                        save_single_images(
+                            np.asarray(fakes[-1]), data['key'], save_dir,
+                            split_dir, i, cls, cfg.imsize, j)
+                        count += bsz
+            if cfg.TEST.B_EXAMPLE:
+                save_super_images(fake_img_list, data['key'], save_dir,
+                                  split_dir, 256)
+            print('[%d/%d]' % (step, self.num_batches))
+        print('Save images ok; Number of images: %d' % count)
+        return save_dir
