@@ -130,6 +130,13 @@ class Config:
     # Steps between on-device inception-score prediction batches (the
     # reference evaluates every other step; cub_trainer_splitz_cap_ca.py:614).
     TPU_IS_EVERY: int = 2
+    # Generator EMA decay (0 disables; the reference's avg_param_G update is
+    # commented out, cub_trainer_splitz_cap_ca.py:609-610, so 0 is faithful;
+    # 0.999 matches the reference's dormant formula).
+    TPU_EMA_DECAY: float = 0.0
+    # Capture a jax.profiler trace for steps [3, 8) of the first epoch into
+    # <output>/Log/profile (view with tensorboard / xprof).
+    TPU_PROFILE: bool = False
 
     # ------------------------------------------------------------------
     @property

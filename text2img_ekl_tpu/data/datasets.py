@@ -203,6 +203,52 @@ class ImageFolderDataset:
         return len(self.imgs)
 
 
+class LSUNClassDataset:
+    """LMDB LSUN reader with on-disk key cache (reference: datasets.py:136-183).
+
+    Requires the ``lmdb`` package (a C extension the reference also gates
+    on); raises a clear ImportError otherwise — the five target configs
+    never touch LSUN.
+    """
+
+    def __init__(self, db_path: str, base_size: int = 64,
+                 branch_num: int = 3, transform=None, seed: int = 0):
+        try:
+            import lmdb
+        except ImportError as e:
+            raise ImportError(
+                'LSUNClassDataset needs the lmdb package (not bundled in '
+                'this image); the CUB/flowers/COCO paths do not.') from e
+        self.db_path = db_path
+        self.env = lmdb.open(db_path, max_readers=1, readonly=True,
+                             lock=False, readahead=False, meminit=False)
+        with self.env.begin(write=False) as txn:
+            self.length = txn.stat()['entries']
+        cache_file = os.path.join(db_path, 'cache')
+        if os.path.isfile(cache_file):
+            with open(cache_file, 'rb') as f:
+                self.keys = pickle.load(f)
+        else:
+            with self.env.begin(write=False) as txn:
+                self.keys = [key for key, _ in txn.cursor()]
+            with open(cache_file, 'wb') as f:
+                pickle.dump(self.keys, f)
+        self.imsize = [base_size * (2 ** i) for i in range(branch_num)]
+        self.transform = transform or T.build_train_transform(self.imsize[-1])
+        self.rng = np.random.default_rng(seed)
+
+    def __getitem__(self, index: int):
+        import io
+        with self.env.begin(write=False) as txn:
+            imgbuf = txn.get(self.keys[index])
+        img = Image.open(io.BytesIO(imgbuf)).convert('RGB')
+        img = self.transform(img, self.rng)
+        return {'imgs': T.multiscale_pyramid(img, self.imsize)}
+
+    def __len__(self):
+        return self.length
+
+
 class SyntheticTextDataset:
     """Deterministic synthetic stand-in with TextDataset's item contract.
 

@@ -43,6 +43,17 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch pytree onto the mesh, sharded on dim 0."""
+    """Place a host batch pytree onto the mesh, sharded on dim 0.
+
+    On a single-device mesh the arrays are placed WITHOUT committing them to
+    a NamedSharding: sharding-committed inputs force the SPMD compile path,
+    which this TPU's AOT backend executes ~100x slower than the identical
+    unsharded program (measured: 34 ms vs 3.6 s per flagship train step).
+    """
+    if mesh.devices.size == 1:
+        # Even device-committed (non-sharded) inputs select the slow
+        # executable on this backend; keep arrays uncommitted.
+        import jax.numpy as jnp
+        return jax.tree.map(jnp.asarray, batch)
     sh = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

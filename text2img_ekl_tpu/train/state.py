@@ -33,6 +33,10 @@ class TrainState:
     d_params: Tuple[Any, ...]
     d_batch_stats: Tuple[Any, ...]
     d_opt_states: Tuple[Any, ...]
+    # EMA of g_params (the reference's avg_param_G slot,
+    # cub_trainer_splitz_cap_ca.py:80-85,218-228; its in-loop update is
+    # disabled there, so decay=0 — state None — is the faithful default).
+    g_ema_params: Any = None
 
 
 def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
@@ -73,6 +77,7 @@ def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
             d_vars['params']))
 
     g_opt = make_optimizer(cfg.TRAIN.GENERATOR_LR).init(g_vars['params'])
+    ema_decay = getattr(cfg, 'TPU_EMA_DECAY', 0.0)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_vars['params'],
@@ -81,4 +86,6 @@ def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
         d_params=tuple(d_params),
         d_batch_stats=tuple(d_stats),
         d_opt_states=tuple(d_opts),
+        g_ema_params=jax.tree.map(jnp.copy, g_vars['params'])
+        if ema_decay > 0 else None,
     )

@@ -75,8 +75,14 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
       real_cp: [B, ENTITY_DIM + 1]          class targets (one-hot or soft)
     """
     num_ds = len(Ds)
+    # On a single-device mesh the pmeans are identities and shard_map only
+    # adds overhead (measured 100x+ slower through the TPU AOT path than the
+    # identical program under plain jit) — compile the local step directly.
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None
     uncond_coeff = float(cfg.TRAIN.COEFF.UNCOND_LOSS)
     kl_coeff = float(cfg.TRAIN.COEFF.KL)
+    ema_decay = float(getattr(cfg, 'TPU_EMA_DECAY', 0.0))
     cat_z = cfg.TRAIN.CAT_Z
     z_dim = cfg.GAN.Z_DIM
     entity_p1 = cfg.GAN.ENTITY_DIM + 1
@@ -208,6 +214,14 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         new_g_bs = pmean(new_g_bs)
         final_d_bs = pmean(tuple(final_d_bs))
 
+        # Optional generator EMA (avg_p = 0.999*avg_p + 0.001*p — the
+        # reference's dormant update, cub_trainer_splitz_cap_ca.py:609-610).
+        new_ema = state.g_ema_params
+        if ema_decay > 0 and state.g_ema_params is not None:
+            new_ema = jax.tree.map(
+                lambda a, p: a * ema_decay + p * (1.0 - ema_decay),
+                state.g_ema_params, new_g_params)
+
         new_state = TrainState(
             step=state.step + 1,
             g_params=new_g_params,
@@ -216,6 +230,7 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
             d_params=tuple(new_d_params),
             d_batch_stats=tuple(final_d_bs),
             d_opt_states=tuple(new_d_opts),
+            g_ema_params=new_ema,
         )
         metrics = {
             'errD': errDs, 'errD_match': errDs_match,

@@ -75,6 +75,24 @@ class CondGANTrainer:
         split = 'train' if cfg.TRAIN.FLAG else 'test'
         transform = (build_train_transform(cfg.imsize) if cfg.TRAIN.FLAG
                      else build_eval_transform(cfg.imsize))
+        if 'lsun' in cfg.DATA_DIR:
+            from ..data import LSUNClassDataset
+            ds = LSUNClassDataset(
+                '%s/%s_%s_lmdb' % (cfg.DATA_DIR, cfg.DATASET_NAME, split),
+                base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
+                transform=transform)
+            return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
+                              drop_last=True, num_workers=int(cfg.WORKERS))
+        if 'imagenet' in cfg.DATA_DIR:
+            from ..data import ImageFolderDataset
+            from ..data.imagenet_classes import CLASS_DIC
+            ds = ImageFolderDataset(
+                cfg.DATA_DIR, split_dir='train',
+                custom_classes=CLASS_DIC.get(cfg.DATASET_NAME),
+                base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
+                transform=transform)
+            return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
+                              drop_last=True, num_workers=int(cfg.WORKERS))
         has_data = cfg.DATA_DIR and os.path.isdir(
             os.path.join(cfg.DATA_DIR, split))
         if cfg.TPU_SYNTHETIC_DATA or not has_data:
@@ -153,7 +171,13 @@ class CondGANTrainer:
                 batch = self._device_batch(host_batch)
                 last_batch = batch
                 rng, step_rng = jax.random.split(rng)
+                if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 3:
+                    jax.profiler.start_trace(
+                        os.path.join(self.log_dir, 'profile'))
                 state, metrics = step_fn(state, batch, step_rng)
+                if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 7:
+                    jax.block_until_ready(state.g_params)
+                    jax.profiler.stop_trace()
                 count += 1
                 total_steps += 1
 
