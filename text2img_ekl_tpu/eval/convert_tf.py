@@ -139,23 +139,167 @@ def load_frozen_graph_weights(pb_path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+# our module name -> torchvision top-level module name
+_TORCHVISION_TOP = {
+    'conv0': 'Conv2d_1a_3x3',
+    'conv1': 'Conv2d_2a_3x3',
+    'conv2': 'Conv2d_2b_3x3',
+    'conv3': 'Conv2d_3b_1x1',
+    'conv4': 'Conv2d_4a_3x3',
+    'mixed_35x35x256a': 'Mixed_5b',
+    'mixed_35x35x288a': 'Mixed_5c',
+    'mixed_35x35x288b': 'Mixed_5d',
+    'mixed_17x17x768a': 'Mixed_6a',
+    'mixed_17x17x768b': 'Mixed_6b',
+    'mixed_17x17x768c': 'Mixed_6c',
+    'mixed_17x17x768d': 'Mixed_6d',
+    'mixed_17x17x768e': 'Mixed_6e',
+    'mixed_8x8x1280a': 'Mixed_7a',
+    'mixed_8x8x2048a': 'Mixed_7b',
+    'mixed_8x8x2048b': 'Mixed_7c',
+    'logits': 'fc',
+}
+
+
 def torchvision_state_to_flax(state_dict: Dict[str, Any],
                               flax_variables: Dict[str, Any]):
-    """Convert a torchvision inception_v3 state dict (model.py:18-31 uses
-    the google-1a9a5a14 release) into our tree. Torch conv weights are OIHW
-    -> HWIO transpose; names map via the branch naming convention shared by
-    torchvision and slim."""
-    raise NotImplementedError(
-        'torchvision mapping lands with the general-IS parity work; use the '
-        'slim checkpoint converter for the fine-tuned IS model.')
+    """Convert a torchvision inception_v3 state dict (the reference's
+    general-IS path downloads inception_v3_google-1a9a5a14, model.py:18-31)
+    into our variable tree (build the model with ``bn_scale=True``).
+
+    Torch conv kernels are OIHW -> HWIO transpose; branch names inside each
+    Mixed block are identical between torchvision and this implementation.
+    Mixed_5b/c/d quirk: torchvision names the 5x5 branch 'branch5x5_*' in
+    modules but the *released checkpoint* stores it under the same name, so
+    no remap is needed.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(flax_variables)
+    new = {}
+    missing = []
+    for path, val in flat.items():
+        coll = path[0]  # 'params' | 'batch_stats'
+        parts = [str(p) for p in path[1:]]
+        leaf = parts[-1]
+        mods = parts[:-1]
+        top = _TORCHVISION_TOP.get(mods[0], mods[0])
+        if mods[0] == 'logits':
+            torch_name = {'kernel': 'fc.weight', 'bias': 'fc.bias'}[leaf]
+            t = np.asarray(state_dict[torch_name])
+            new[path] = t.T.astype(np.float32) if leaf == 'kernel' else \
+                t.astype(np.float32)
+            continue
+        # inside: [branch name,] ConvBN submodules Conv_0 / BatchNorm_0
+        branch = [m for m in mods[1:] if not m.startswith(('Conv', 'Batch'))]
+        prefix = '.'.join([top] + branch)
+        if any(m.startswith('Conv') for m in mods):
+            assert leaf == 'kernel'
+            t = np.asarray(state_dict[prefix + '.conv.weight'])
+            new[path] = t.transpose(2, 3, 1, 0).astype(np.float32)
+        else:  # BatchNorm
+            leaf_map = {'scale': 'bn.weight', 'bias': 'bn.bias',
+                        'mean': 'bn.running_mean', 'var': 'bn.running_var'}
+            key = prefix + '.' + leaf_map[leaf]
+            if key not in state_dict:
+                missing.append(key)
+                new[path] = val
+                continue
+            new[path] = np.asarray(state_dict[key]).astype(np.float32)
+    if missing:
+        raise KeyError('unmapped torch params: %s' % missing[:20])
+    return flax.traverse_util.unflatten_dict(new)
 
 
-def random_inception_variables(rng, num_classes: int = 1000):
+# ConvBN module paths in *definition order* — the same order keras's
+# inception_v3 creates its Conv2D layers, enabling an ordered zip.
+def _ordered_convbn_paths():
+    paths = ['conv0', 'conv1', 'conv2', 'conv3', 'conv4']
+    m35 = ['branch1x1', 'branch5x5_1', 'branch5x5_2', 'branch3x3dbl_1',
+           'branch3x3dbl_2', 'branch3x3dbl_3', 'branch_pool']
+    m17r = ['branch3x3', 'branch3x3dbl_1', 'branch3x3dbl_2',
+            'branch3x3dbl_3']
+    m17 = ['branch1x1', 'branch7x7_1', 'branch7x7_2', 'branch7x7_3',
+           'branch7x7dbl_1', 'branch7x7dbl_2', 'branch7x7dbl_3',
+           'branch7x7dbl_4', 'branch7x7dbl_5', 'branch_pool']
+    m8r = ['branch3x3_1', 'branch3x3_2', 'branch7x7x3_1', 'branch7x7x3_2',
+           'branch7x7x3_3', 'branch7x7x3_4']
+    m8 = ['branch1x1', 'branch3x3_1', 'branch3x3_2a', 'branch3x3_2b',
+          'branch3x3dbl_1', 'branch3x3dbl_2', 'branch3x3dbl_3a',
+          'branch3x3dbl_3b', 'branch_pool']
+    blocks = [('mixed_35x35x256a', m35), ('mixed_35x35x288a', m35),
+              ('mixed_35x35x288b', m35), ('mixed_17x17x768a', m17r),
+              ('mixed_17x17x768b', m17), ('mixed_17x17x768c', m17),
+              ('mixed_17x17x768d', m17), ('mixed_17x17x768e', m17),
+              ('mixed_8x8x1280a', m8r), ('mixed_8x8x2048a', m8),
+              ('mixed_8x8x2048b', m8)]
+    for blk, branches in blocks:
+        paths.extend('%s/%s' % (blk, b) for b in branches)
+    return paths
+
+
+def keras_inception_to_flax(keras_model, flax_variables: Dict[str, Any]):
+    """Map a tf.keras.applications.InceptionV3 (weights random or loaded)
+    onto our flax tree (build the model with bn_scale=False,
+    torch_pool=False — the TF flavor).
+
+    Keras conv kernels are already HWIO; BatchNormalization(scale=False)
+    weights are [beta, moving_mean, moving_variance]. Layers are matched by
+    creation order, which both implementations share (see
+    _ordered_convbn_paths).
+    """
+    import flax
+
+    def _creation_index(layer):
+        # keras auto-names encode creation order: 'conv2d', 'conv2d_1', ...
+        # (model.layers itself is graph-traversal order, not creation order)
+        tail = layer.name.rsplit('_', 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    convs = sorted((l for l in keras_model.layers
+                    if l.__class__.__name__ == 'Conv2D'),
+                   key=_creation_index)
+    bns = sorted((l for l in keras_model.layers
+                  if l.__class__.__name__ == 'BatchNormalization'),
+                 key=_creation_index)
+    paths = _ordered_convbn_paths()
+    assert len(convs) == len(paths), (len(convs), len(paths))
+    assert len(bns) == len(paths)
+
+    flat = flax.traverse_util.flatten_dict(flax_variables)
+    new = dict(flat)
+
+    def setp(*key_and_val):
+        *key, val = key_and_val
+        k = tuple(key)
+        assert k in new, k
+        assert new[k].shape == val.shape, (k, new[k].shape, val.shape)
+        new[k] = np.asarray(val, np.float32)
+
+    for path, conv, bn in zip(paths, convs, bns):
+        parts = tuple(path.split('/'))
+        setp('params', *parts, 'Conv_0', 'kernel', conv.get_weights()[0])
+        beta, mean, var = bn.get_weights()
+        setp('params', *parts, 'BatchNorm_0', 'bias', beta)
+        setp('batch_stats', *parts, 'BatchNorm_0', 'mean', mean)
+        setp('batch_stats', *parts, 'BatchNorm_0', 'var', var)
+
+    dense = [l for l in keras_model.layers
+             if l.__class__.__name__ == 'Dense']
+    if dense:
+        w, b = dense[0].get_weights()
+        setp('params', 'logits', 'kernel', w)
+        setp('params', 'logits', 'bias', b)
+    return flax.traverse_util.unflatten_dict(new)
+
+
+def random_inception_variables(rng, num_classes: int = 1000,
+                               flavor: str = 'slim'):
     """Random variables for smoke tests (scores NOT comparable)."""
     import jax
     import jax.numpy as jnp
-    from ..models.inception_v3 import InceptionV3
+    from ..models.inception_v3 import make_inception
 
-    model = InceptionV3(num_classes=num_classes)
+    model = make_inception(num_classes, flavor)
     x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    return model.init({'params': rng}, x)
+    return jax.jit(model.init)({'params': rng}, x)

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.inception_v3 import InceptionV3, preprocess_uint8
+from ..models.inception_v3 import (
+    InceptionV3, make_inception, preprocess_uint8)
 
 
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
@@ -59,8 +60,8 @@ class FIDScorer:
     """pool_3 activation extractor + FID computation."""
 
     def __init__(self, variables, num_classes: int = 1000,
-                 batch_size: int = 50):
-        self.model = InceptionV3(num_classes=num_classes)
+                 batch_size: int = 50, flavor: str = 'slim'):
+        self.model = make_inception(num_classes, flavor)
         self.variables = variables
         self.batch_size = batch_size
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.inception_v3 import (
-    InceptionV3, preprocess_gan_output, preprocess_uint8)
+    InceptionV3, make_inception, preprocess_gan_output, preprocess_uint8)
 
 
 def compute_inception_score(predictions: np.ndarray,
@@ -61,8 +61,9 @@ class InceptionScorer:
     """
 
     def __init__(self, variables, num_classes: int = 51,
-                 finetuned: bool = True, batch_size: int = 64):
-        self.model = InceptionV3(num_classes=num_classes)
+                 finetuned: bool = True, batch_size: int = 64,
+                 flavor: str = 'slim'):
+        self.model = make_inception(num_classes, flavor)
         self.variables = variables
         self.finetuned = finetuned
         self.batch_size = batch_size

@@ -31,12 +31,19 @@ Dtype = Any
 
 
 class ConvBN(nn.Module):
-    """conv -> BN(no scale, eps 1e-3) -> ReLU, slim-style."""
+    """conv -> BN(eps 1e-3) -> ReLU.
+
+    ``bn_scale=False`` is the TF-slim flavor (no gamma,
+    inception/slim/ops.py:43); ``bn_scale=True`` matches torchvision's
+    BasicConv2d, enabling bit-parity with the torch weights the reference's
+    general-IS path downloads (model.py:18-31).
+    """
 
     features: int
     kernel: Tuple[int, int]
     strides: int = 1
     padding: Any = 'SAME'
+    bn_scale: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -44,7 +51,7 @@ class ConvBN(nn.Module):
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
                     padding=self.padding, use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.BatchNorm(use_running_average=True, use_scale=False,
+        x = nn.BatchNorm(use_running_average=True, use_scale=self.bn_scale,
                          use_bias=True, epsilon=1e-3, momentum=0.9997,
                          dtype=jnp.float32, param_dtype=jnp.float32)(x)
         return nn.relu(x).astype(self.dtype)
@@ -55,44 +62,52 @@ def _max_pool(x, window=3, stride=2, padding='VALID'):
                        padding=padding)
 
 
-def _avg_pool(x, window=3, stride=1, padding='SAME'):
+def _avg_pool(x, window=3, stride=1, padding='SAME',
+              count_include_pad=True):
+    """Branch-pool average. TF/slim/keras exclude padded cells from the
+    divisor; torch's F.avg_pool2d includes them (its default) — the flavor
+    switch matters at spatial borders."""
     return nn.avg_pool(x, (window, window), strides=(stride, stride),
-                       padding=padding)
+                       padding=padding, count_include_pad=count_include_pad)
 
 
 class Mixed35(nn.Module):
     """35x35 inception block (slim mixed_35x35x256a..288b)."""
 
     pool_features: int
+    bn_scale: bool = False
+    torch_pool: bool = True  # include padding in avg-pool divisor
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        b0 = ConvBN(64, (1, 1), dtype=d, name='branch1x1')(x)
-        b1 = ConvBN(48, (1, 1), dtype=d, name='branch5x5_1')(x)
-        b1 = ConvBN(64, (5, 5), dtype=d, name='branch5x5_2')(b1)
-        b2 = ConvBN(64, (1, 1), dtype=d, name='branch3x3dbl_1')(x)
-        b2 = ConvBN(96, (3, 3), dtype=d, name='branch3x3dbl_2')(b2)
-        b2 = ConvBN(96, (3, 3), dtype=d, name='branch3x3dbl_3')(b2)
-        b3 = _avg_pool(x)
-        b3 = ConvBN(self.pool_features, (1, 1), dtype=d, name='branch_pool')(b3)
+        b0 = ConvBN(64, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch1x1')(x)
+        b1 = ConvBN(48, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch5x5_1')(x)
+        b1 = ConvBN(64, (5, 5), bn_scale=self.bn_scale, dtype=d, name='branch5x5_2')(b1)
+        b2 = ConvBN(64, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_1')(x)
+        b2 = ConvBN(96, (3, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_2')(b2)
+        b2 = ConvBN(96, (3, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_3')(b2)
+        b3 = _avg_pool(x, count_include_pad=self.torch_pool)
+        b3 = ConvBN(self.pool_features, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch_pool')(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
 class Mixed17Reduce(nn.Module):
     """35->17 grid reduction (slim mixed_17x17x768a)."""
 
+    bn_scale: bool = False
+    torch_pool: bool = True  # unused (max-pool only); kept for uniform ctor
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        b0 = ConvBN(384, (3, 3), strides=2, padding='VALID', dtype=d,
+        b0 = ConvBN(384, (3, 3), strides=2, padding='VALID', bn_scale=self.bn_scale, dtype=d,
                     name='branch3x3')(x)
-        b1 = ConvBN(64, (1, 1), dtype=d, name='branch3x3dbl_1')(x)
-        b1 = ConvBN(96, (3, 3), dtype=d, name='branch3x3dbl_2')(b1)
-        b1 = ConvBN(96, (3, 3), strides=2, padding='VALID', dtype=d,
+        b1 = ConvBN(64, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_1')(x)
+        b1 = ConvBN(96, (3, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_2')(b1)
+        b1 = ConvBN(96, (3, 3), strides=2, padding='VALID', bn_scale=self.bn_scale, dtype=d,
                     name='branch3x3dbl_3')(b1)
         b2 = _max_pool(x)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -102,40 +117,44 @@ class Mixed17(nn.Module):
     """17x17 inception block with 7x1/1x7 factorization (mixed_17x17x768b..e)."""
 
     c7: int  # 128, 160, or 192
+    bn_scale: bool = False
+    torch_pool: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d, c7 = self.dtype, self.c7
-        b0 = ConvBN(192, (1, 1), dtype=d, name='branch1x1')(x)
-        b1 = ConvBN(c7, (1, 1), dtype=d, name='branch7x7_1')(x)
-        b1 = ConvBN(c7, (1, 7), dtype=d, name='branch7x7_2')(b1)
-        b1 = ConvBN(192, (7, 1), dtype=d, name='branch7x7_3')(b1)
-        b2 = ConvBN(c7, (1, 1), dtype=d, name='branch7x7dbl_1')(x)
-        b2 = ConvBN(c7, (7, 1), dtype=d, name='branch7x7dbl_2')(b2)
-        b2 = ConvBN(c7, (1, 7), dtype=d, name='branch7x7dbl_3')(b2)
-        b2 = ConvBN(c7, (7, 1), dtype=d, name='branch7x7dbl_4')(b2)
-        b2 = ConvBN(192, (1, 7), dtype=d, name='branch7x7dbl_5')(b2)
-        b3 = _avg_pool(x)
-        b3 = ConvBN(192, (1, 1), dtype=d, name='branch_pool')(b3)
+        b0 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch1x1')(x)
+        b1 = ConvBN(c7, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7_1')(x)
+        b1 = ConvBN(c7, (1, 7), bn_scale=self.bn_scale, dtype=d, name='branch7x7_2')(b1)
+        b1 = ConvBN(192, (7, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7_3')(b1)
+        b2 = ConvBN(c7, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7dbl_1')(x)
+        b2 = ConvBN(c7, (7, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7dbl_2')(b2)
+        b2 = ConvBN(c7, (1, 7), bn_scale=self.bn_scale, dtype=d, name='branch7x7dbl_3')(b2)
+        b2 = ConvBN(c7, (7, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7dbl_4')(b2)
+        b2 = ConvBN(192, (1, 7), bn_scale=self.bn_scale, dtype=d, name='branch7x7dbl_5')(b2)
+        b3 = _avg_pool(x, count_include_pad=self.torch_pool)
+        b3 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch_pool')(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
 class Mixed8Reduce(nn.Module):
     """17->8 grid reduction (slim mixed_8x8x1280a)."""
 
+    bn_scale: bool = False
+    torch_pool: bool = True  # unused (max-pool only); kept for uniform ctor
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        b0 = ConvBN(192, (1, 1), dtype=d, name='branch3x3_1')(x)
-        b0 = ConvBN(320, (3, 3), strides=2, padding='VALID', dtype=d,
+        b0 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3_1')(x)
+        b0 = ConvBN(320, (3, 3), strides=2, padding='VALID', bn_scale=self.bn_scale, dtype=d,
                     name='branch3x3_2')(b0)
-        b1 = ConvBN(192, (1, 1), dtype=d, name='branch7x7x3_1')(x)
-        b1 = ConvBN(192, (1, 7), dtype=d, name='branch7x7x3_2')(b1)
-        b1 = ConvBN(192, (7, 1), dtype=d, name='branch7x7x3_3')(b1)
-        b1 = ConvBN(192, (3, 3), strides=2, padding='VALID', dtype=d,
+        b1 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7x3_1')(x)
+        b1 = ConvBN(192, (1, 7), bn_scale=self.bn_scale, dtype=d, name='branch7x7x3_2')(b1)
+        b1 = ConvBN(192, (7, 1), bn_scale=self.bn_scale, dtype=d, name='branch7x7x3_3')(b1)
+        b1 = ConvBN(192, (3, 3), strides=2, padding='VALID', bn_scale=self.bn_scale, dtype=d,
                     name='branch7x7x3_4')(b1)
         b2 = _max_pool(x)
         return jnp.concatenate([b0, b1, b2], axis=-1)
@@ -144,23 +163,25 @@ class Mixed8Reduce(nn.Module):
 class Mixed8(nn.Module):
     """8x8 inception block with split 3x3 branches (mixed_8x8x2048a/b)."""
 
+    bn_scale: bool = False
+    torch_pool: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
-        b0 = ConvBN(320, (1, 1), dtype=d, name='branch1x1')(x)
-        b1 = ConvBN(384, (1, 1), dtype=d, name='branch3x3_1')(x)
-        b1a = ConvBN(384, (1, 3), dtype=d, name='branch3x3_2a')(b1)
-        b1b = ConvBN(384, (3, 1), dtype=d, name='branch3x3_2b')(b1)
+        b0 = ConvBN(320, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch1x1')(x)
+        b1 = ConvBN(384, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3_1')(x)
+        b1a = ConvBN(384, (1, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3_2a')(b1)
+        b1b = ConvBN(384, (3, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3_2b')(b1)
         b1 = jnp.concatenate([b1a, b1b], axis=-1)
-        b2 = ConvBN(448, (1, 1), dtype=d, name='branch3x3dbl_1')(x)
-        b2 = ConvBN(384, (3, 3), dtype=d, name='branch3x3dbl_2')(b2)
-        b2a = ConvBN(384, (1, 3), dtype=d, name='branch3x3dbl_3a')(b2)
-        b2b = ConvBN(384, (3, 1), dtype=d, name='branch3x3dbl_3b')(b2)
+        b2 = ConvBN(448, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_1')(x)
+        b2 = ConvBN(384, (3, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_2')(b2)
+        b2a = ConvBN(384, (1, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_3a')(b2)
+        b2b = ConvBN(384, (3, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_3b')(b2)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
-        b3 = _avg_pool(x)
-        b3 = ConvBN(192, (1, 1), dtype=d, name='branch_pool')(b3)
+        b3 = _avg_pool(x, count_include_pad=self.torch_pool)
+        b3 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch_pool')(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -168,6 +189,8 @@ class InceptionV3(nn.Module):
     """Full tower; returns (logits, endpoints) with endpoints['pool_3']."""
 
     num_classes: int = 1000
+    bn_scale: bool = False
+    torch_pool: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -175,26 +198,26 @@ class InceptionV3(nn.Module):
         d = self.dtype
         ep = {}
         x = x.astype(d)
-        x = ConvBN(32, (3, 3), strides=2, padding='VALID', dtype=d,
+        x = ConvBN(32, (3, 3), strides=2, padding='VALID', bn_scale=self.bn_scale, dtype=d,
                    name='conv0')(x)
-        x = ConvBN(32, (3, 3), padding='VALID', dtype=d, name='conv1')(x)
-        x = ConvBN(64, (3, 3), dtype=d, name='conv2')(x)
+        x = ConvBN(32, (3, 3), padding='VALID', bn_scale=self.bn_scale, dtype=d, name='conv1')(x)
+        x = ConvBN(64, (3, 3), bn_scale=self.bn_scale, dtype=d, name='conv2')(x)
         x = _max_pool(x)
-        x = ConvBN(80, (1, 1), padding='VALID', dtype=d, name='conv3')(x)
-        x = ConvBN(192, (3, 3), padding='VALID', dtype=d, name='conv4')(x)
+        x = ConvBN(80, (1, 1), padding='VALID', bn_scale=self.bn_scale, dtype=d, name='conv3')(x)
+        x = ConvBN(192, (3, 3), padding='VALID', bn_scale=self.bn_scale, dtype=d, name='conv4')(x)
         x = _max_pool(x)
-        x = Mixed35(32, dtype=d, name='mixed_35x35x256a')(x)
-        x = Mixed35(64, dtype=d, name='mixed_35x35x288a')(x)
-        x = Mixed35(64, dtype=d, name='mixed_35x35x288b')(x)
-        x = Mixed17Reduce(dtype=d, name='mixed_17x17x768a')(x)
-        x = Mixed17(128, dtype=d, name='mixed_17x17x768b')(x)
-        x = Mixed17(160, dtype=d, name='mixed_17x17x768c')(x)
-        x = Mixed17(160, dtype=d, name='mixed_17x17x768d')(x)
-        x = Mixed17(192, dtype=d, name='mixed_17x17x768e')(x)
+        x = Mixed35(32, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_35x35x256a')(x)
+        x = Mixed35(64, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_35x35x288a')(x)
+        x = Mixed35(64, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_35x35x288b')(x)
+        x = Mixed17Reduce(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_17x17x768a')(x)
+        x = Mixed17(128, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_17x17x768b')(x)
+        x = Mixed17(160, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_17x17x768c')(x)
+        x = Mixed17(160, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_17x17x768d')(x)
+        x = Mixed17(192, bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_17x17x768e')(x)
         ep['mixed_17x17x768e'] = x
-        x = Mixed8Reduce(dtype=d, name='mixed_8x8x1280a')(x)
-        x = Mixed8(dtype=d, name='mixed_8x8x2048a')(x)
-        x = Mixed8(dtype=d, name='mixed_8x8x2048b')(x)
+        x = Mixed8Reduce(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x1280a')(x)
+        x = Mixed8(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x2048a')(x)
+        x = Mixed8(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x2048b')(x)
         # Global average pool == slim's 8x8 avg pool at 299 input; adaptive
         # for other input sizes (the frozen FID graph is also adaptive).
         x = jnp.mean(x, axis=(1, 2))
@@ -204,6 +227,25 @@ class InceptionV3(nn.Module):
                           param_dtype=jnp.float32, name='logits')(pool3)
         ep['logits'] = logits
         return logits, ep
+
+
+def make_inception(num_classes: int = 1000, flavor: str = 'slim',
+                   dtype=jnp.float32) -> 'InceptionV3':
+    """Flavored constructor.
+
+    'slim'  — TF-slim/keras semantics (BN without scale, border-exclusive
+              avg pools): the fine-tuned IS checkpoint and the frozen
+              FID/general-IS graphs.
+    'torch' — torchvision semantics (BN scale, border-inclusive avg pools):
+              the in-process general-IS model (reference model.py:18-47).
+    """
+    if flavor == 'slim':
+        return InceptionV3(num_classes=num_classes, bn_scale=False,
+                           torch_pool=False, dtype=dtype)
+    if flavor == 'torch':
+        return InceptionV3(num_classes=num_classes, bn_scale=True,
+                           torch_pool=True, dtype=dtype)
+    raise ValueError(flavor)
 
 
 def preprocess_uint8(images: jnp.ndarray) -> jnp.ndarray:

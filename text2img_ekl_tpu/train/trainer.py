@@ -20,6 +20,7 @@ config-driven class:
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -160,6 +161,22 @@ class CondGANTrainer:
                      else (IS_THRESHOLD_CUB_GENERAL if cfg.TRAIN.GENERAL_IS
                            else IS_THRESHOLD_CUB_FINETUNED))
 
+        # Failure recovery: a SIGTERM/SIGINT requests a checkpoint at the
+        # next step boundary, then a clean exit (the reference loses all
+        # progress since the last manual snapshot; SURVEY.md section 5).
+        stop_requested = {'flag': False}
+
+        def _request_stop(signum, frame):
+            print('signal %d: checkpointing at next step boundary' % signum)
+            stop_requested['flag'] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):
+                pass  # non-main thread
+
         rng = jax.random.PRNGKey(1)
         count = int(np.asarray(state.step))
         total_steps = 0
@@ -187,6 +204,12 @@ class CondGANTrainer:
                 if count % 100 == 0:
                     self.logger.log_scalars(
                         count, {k: float(v) for k, v in metrics.items()})
+                if stop_requested['flag']:
+                    self.ckpt.save(state, epoch)
+                    print('checkpointed on signal; exiting train loop')
+                    for sig, h in old_handlers.items():
+                        signal.signal(sig, h)
+                    return state
                 if max_steps is not None and total_steps >= max_steps:
                     break
 
@@ -217,9 +240,19 @@ class CondGANTrainer:
                 if mean > threshold:
                     self.ckpt.save(state, epoch)
                     print('Saved good model')
+            elif cfg.TRAIN.BIG_EVAL:
+                # Per-epoch eval over >=1000 fresh samples with a save gate
+                # at 5.4 (cub_trainer_splitz_cap_ca.py:698-730).
+                mean = self._big_eval(state, rng, n=1000)
+                print('Epoch%d IS: %.3f' % (epoch, mean))
+                if mean > 5.4:
+                    self.ckpt.save(state, epoch)
+                    print('Saved good model')
 
             if max_steps is not None and total_steps >= max_steps:
                 break
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         return state
 
     def _make_is_scorer(self):
@@ -227,17 +260,26 @@ class CondGANTrainer:
         checkpoint is present (scores then are relative-only)."""
         from ..eval.convert_tf import random_inception_variables
         from ..eval.inception_score import InceptionScorer
-        num_classes = 1000 if self.cfg.TRAIN.GENERAL_IS else 51
+        # GENERAL_IS uses the torchvision-flavor tower (reference
+        # model.py:18-47); the fine-tuned path is TF-slim flavor.
+        general = self.cfg.TRAIN.GENERAL_IS
+        num_classes = 1000 if general else 51
+        flavor = 'torch' if general else 'slim'
         ckpt = os.environ.get('T2I_INCEPTION_CKPT', '')
-        if ckpt and os.path.exists(ckpt + '.npz'):
-            import numpy as np_
-            raise NotImplementedError('npz inception weights loading TBD')
-        variables = random_inception_variables(
-            jax.random.PRNGKey(7), num_classes)
-        print('!! Inception weights are random (no checkpoint found): '
-              'in-training IS is a relative signal only')
+        if ckpt and os.path.exists(ckpt):
+            from ..eval.convert_tf import (load_slim_checkpoint,
+                                           slim_vars_to_flax)
+            variables = random_inception_variables(
+                jax.random.PRNGKey(7), num_classes, flavor)
+            variables = slim_vars_to_flax(
+                load_slim_checkpoint(ckpt, num_classes), variables)
+        else:
+            variables = random_inception_variables(
+                jax.random.PRNGKey(7), num_classes, flavor)
+            print('!! Inception weights are random (no checkpoint found): '
+                  'in-training IS is a relative signal only')
         return InceptionScorer(variables, num_classes,
-                               finetuned=not self.cfg.TRAIN.GENERAL_IS)
+                               finetuned=not general, flavor=flavor)
 
     def _sample_like(self, state, batch, rng):
         """Fake images for the IS stream, using current params (the
@@ -253,6 +295,22 @@ class CondGANTrainer:
             return self._train_sampler(g_vars, rng, noise, batch['cond'])
         return self._train_sampler(g_vars, rng, noise, batch['txt'],
                                    batch['cls_onehot'])
+
+    def _big_eval(self, state, rng, n: int = 1000) -> float:
+        """Generate >= n samples over fresh loader batches and score IS
+        (the reference's memory-heavy per-epoch eval path)."""
+        if not hasattr(self, '_big_scorer'):
+            self._big_scorer = self._make_is_scorer()
+        scorer = self._big_scorer
+        for host_batch in self.data_loader:
+            if scorer.count > n:
+                break
+            batch = self._device_batch(host_batch)
+            rng, k = jax.random.split(rng)
+            fakes = self._sample_like(state, batch, k)
+            scorer.add(fakes[-1])
+        mean, _ = scorer.score(num_splits=1)
+        return mean
 
     def _save_epoch_images(self, state, batch, rng, epoch):
         num = min(self.cfg.TRAIN.VIS_COUNT, batch['real'][-1].shape[0])
