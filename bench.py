@@ -44,6 +44,8 @@ def main():
     # 128/chip saturates the v5e on this workload (see PERF notes); the
     # reference metric is per-chip throughput, batch size is free.
     bs = int(os.environ.get('BENCH_BS', 128))
+    # bf16 BatchNorm IO: +14% (loss trajectories match f32; PERF.md)
+    cfg.TPU_BN_DTYPE = os.environ.get('BENCH_BN_DTYPE', 'bfloat16')
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

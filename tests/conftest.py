@@ -18,7 +18,10 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+# T2I_TEST_TPU=1 runs the suite against the real TPU backend instead (used
+# for the Pallas-kernel parity tests, which skip on CPU).
+if os.environ.get('T2I_TEST_TPU') != '1':
+    jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
 

@@ -118,6 +118,9 @@ class Config:
     # --- TPU-native extensions (not present in the reference schema) ---
     # Compute dtype for conv/matmul ('bfloat16' or 'float32').
     TPU_COMPUTE_DTYPE: str = 'bfloat16'
+    # BatchNorm compute dtype: 'float32' (reference-faithful) or 'bfloat16'
+    # (halves BN-boundary HBM traffic; TPU reductions accumulate f32).
+    TPU_BN_DTYPE: str = 'float32'
     # Number of data-parallel shards ('auto' = all local devices).
     TPU_DATA_PARALLEL: int = 0  # 0 => use every available device
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.

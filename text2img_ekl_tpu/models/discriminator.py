@@ -196,6 +196,8 @@ def build_discriminators(cfg, cond_width: Optional[int] = None) -> List[nn.Modul
     """
     dtype = jnp.bfloat16 if cfg.TPU_COMPUTE_DTYPE == 'bfloat16' \
         else jnp.float32
+    from .generator import _apply_bn_dtype_policy
+    _apply_bn_dtype_policy(cfg)
     if cond_width is None:
         cond_width = cfg.GAN.EMBEDDING_DIM * 2 if cfg.TRAIN.CAT_Z == 'concat' \
             else cfg.GAN.EMBEDDING_DIM

@@ -469,6 +469,15 @@ def _make_init_stage(m) -> nn.Module:
     return CondInitStageG(ngf, dtype=m.dtype)
 
 
+def _apply_bn_dtype_policy(cfg) -> None:
+    """Set the module-level BatchNorm compute dtype from config (must run
+    before model construction/tracing)."""
+    from ..nn import blocks
+    blocks.BN_DTYPE = jnp.bfloat16 \
+        if getattr(cfg, 'TPU_BN_DTYPE', 'float32') == 'bfloat16' \
+        else jnp.float32
+
+
 def build_generator(cfg, train_flag: bool = True) -> nn.Module:
     """Instantiate the generator the trainers use for a given config.
 
@@ -479,6 +488,7 @@ def build_generator(cfg, train_flag: bool = True) -> nn.Module:
     """
     dtype = jnp.bfloat16 if cfg.TPU_COMPUTE_DTYPE == 'bfloat16' \
         else jnp.float32
+    _apply_bn_dtype_policy(cfg)
     use_cap = cfg.TRAIN.G_CAPSULE if train_flag else cfg.TEST.G_CAPSULE
     common = dict(
         gf_dim=cfg.GAN.GF_DIM,

@@ -55,16 +55,22 @@ class GLU(nn.Module):
         return glu(x)
 
 
+# BatchNorm compute dtype. float32 is reference-faithful; bfloat16 halves
+# the BN-boundary HBM traffic (TPU reduces accumulate in f32 either way) —
+# set via config TPU_BN_DTYPE before model construction.
+BN_DTYPE = jnp.float32
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with reference-faithful defaults.
 
-    Statistics are computed in float32 over the local (per-replica) batch,
-    matching DataParallel per-GPU statistics; running averages use
-    momentum 0.1 (torch default). ``use_running_average`` selects eval mode.
+    Statistics are computed over the local (per-replica) batch, matching
+    DataParallel per-GPU statistics; running averages use momentum 0.1
+    (torch default). ``use_running_average`` selects eval mode.
     """
 
     use_running_average: bool = False
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None  # None -> module-level BN_DTYPE
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = None):
@@ -74,7 +80,7 @@ class BatchNorm(nn.Module):
             use_running_average=ura,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype or BN_DTYPE,
             param_dtype=jnp.float32,
             scale_init=bn_scale_init,
             bias_init=jax.nn.initializers.zeros,

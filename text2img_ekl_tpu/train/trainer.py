@@ -150,7 +150,7 @@ class CondGANTrainer:
         start_epoch = 0
         latest = self.ckpt.latest()
         if latest is not None:
-            state = self.ckpt.restore(state, latest)
+            state = self._place_state(self.ckpt.restore(state, latest))
             start_epoch = int(np.asarray(state.step)) // max(
                 1, self.num_batches)
             print('Resumed from %s (epoch %d)' % (latest, start_epoch))
@@ -296,6 +296,17 @@ class CondGANTrainer:
         return self._train_sampler(g_vars, rng, noise, batch['txt'],
                                    batch['cls_onehot'])
 
+    def _place_state(self, state):
+        """Re-place restored arrays for the mesh: replicated on multi-device
+        meshes, uncommitted on single-device (orbax restores arrays
+        committed to one device, which conflicts with mesh-sharded batch
+        inputs under jit)."""
+        if self.num_shards > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P())
+            return jax.tree.map(lambda x: jax.device_put(x, sh), state)
+        return jax.tree.map(jnp.asarray, state)
+
     def _big_eval(self, state, rng, n: int = 1000) -> float:
         """Generate >= n samples over fresh loader batches and score IS
         (the reference's memory-heavy per-epoch eval path)."""
@@ -335,7 +346,8 @@ class CondGANTrainer:
                                           jax.random.PRNGKey(0),
                                           self.cond_width)
             from ..io_utils.checkpoint import restore_train_state
-            state = restore_train_state(cfg.TRAIN.NET_G, abstract)
+            state = self._place_state(
+                restore_train_state(cfg.TRAIN.NET_G, abstract))
         g_vars = {'params': state.g_params,
                   'batch_stats': state.g_batch_stats}
         sampler = make_sample_fn(cfg, self.G, self.mesh,
