@@ -16,7 +16,7 @@ pipeline is reproducible and shardable.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 from PIL import Image

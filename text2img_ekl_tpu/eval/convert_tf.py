@@ -25,20 +25,6 @@ from typing import Any, Dict
 
 import numpy as np
 
-# slim scope name -> our module name for the stem convs
-_STEM_MAP = {
-    'conv0': 'conv0', 'conv1': 'conv1', 'conv2': 'conv2',
-    'conv3': 'conv3', 'conv4': 'conv4',
-}
-
-_MIXED_NAMES = [
-    'mixed_35x35x256a', 'mixed_35x35x288a', 'mixed_35x35x288b',
-    'mixed_17x17x768a', 'mixed_17x17x768b', 'mixed_17x17x768c',
-    'mixed_17x17x768d', 'mixed_17x17x768e', 'mixed_8x8x1280a',
-    'mixed_8x8x2048a', 'mixed_8x8x2048b',
-]
-
-
 def _require(path: str, what: str):
     if not path or not os.path.exists(path):
         raise FileNotFoundError(

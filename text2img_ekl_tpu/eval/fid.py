@@ -9,8 +9,7 @@ imaginary-component guard.
 
 from __future__ import annotations
 
-import os
-from typing import Iterable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ cub_trainer_splitz_cap_ca.py:87-98 / inception_score.py:117-160.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ Inputs are NHWC float in [-1, 1].
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -23,7 +23,7 @@ transpose to NHWC afterwards, so the math is identical despite the layout.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -28,14 +28,13 @@ trainer.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.generator import CondGNet, CondGNetCatZ, CondGNetCatZCA, GNet
+from ..models.generator import CondGNet, GNet
 from ..parallel.mesh import DATA_AXIS
 from .losses import bce, ce_loss, kl_loss
 from .state import TrainState, make_optimizer
