@@ -1,0 +1,53 @@
+"""Trainer batch-assembly tests: CUB one-hot vs COCO soft-target paths."""
+
+import numpy as np
+import pytest
+
+from text2img_ekl_tpu.config import cfg_from_file
+from text2img_ekl_tpu.train.trainer import CondGANTrainer
+
+REF = '/root/reference/cfg'
+
+
+def _trainer(name, tmp_path):
+    cfg = cfg_from_file('%s/%s' % (REF, name))
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.FLAG = True
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_SYNTHETIC_DATA = True
+    cfg.TPU_DATA_PARALLEL = 1
+    cfg.WORKERS = 1
+    return CondGANTrainer(cfg, str(tmp_path))
+
+
+def test_cub_batch_one_hot_and_shift(tmp_path):
+    """CUB class ids are 1-based; targets shift to 0-based one-hots
+    (cub_trainer_splitz_cap_ca.py:302-304, 556-557)."""
+    tr = _trainer('birds_2stg_splitz_cap_ca.realcls.yml', tmp_path)
+    host = next(iter(tr.data_loader))
+    batch = tr._device_batch(host)
+    onehot = np.asarray(batch['cls_onehot'])
+    real_cp = np.asarray(batch['real_cp'])
+    assert onehot.shape[1] == 200 and real_cp.shape[1] == 201
+    np.testing.assert_array_equal(onehot.sum(1), 1)
+    np.testing.assert_array_equal(real_cp.sum(1), 1)
+    # the extra 'generated' class is never a real target
+    assert real_cp[:, -1].sum() == 0
+    cls = np.asarray(host['cls'])
+    np.testing.assert_array_equal(np.argmax(onehot, 1), cls - 1)
+
+
+def test_coco_batch_soft_targets(tmp_path):
+    """COCO multi-hots normalize to soft class targets (trainer.py:518) and
+    the condition concatenates embedding + multi-hot (trainer.py:526)."""
+    tr = _trainer('coco_2stgs.yml', tmp_path)
+    host = next(iter(tr.data_loader))
+    batch = tr._device_batch(host)
+    assert 'cond' in batch and 'txt' not in batch
+    cond = np.asarray(batch['cond'])
+    assert cond.shape[1] == 1024 + 91
+    real_cp = np.asarray(batch['real_cp'])
+    np.testing.assert_allclose(real_cp.sum(1), 1.0, rtol=1e-5)
+    assert np.all(real_cp >= 0)

@@ -62,8 +62,12 @@ class InceptionScorer:
 
     def __init__(self, variables, num_classes: int = 51,
                  finetuned: bool = True, batch_size: int = 64,
-                 flavor: str = 'slim'):
-        self.model = make_inception(num_classes, flavor)
+                 flavor: str = 'slim', dtype=None):
+        """``dtype=jnp.bfloat16`` speeds the tower ~26%% — fine for the
+        in-training relative gate; offline scoring should stay f32."""
+        import jax.numpy as _jnp
+        self.model = make_inception(num_classes, flavor,
+                                    dtype=dtype or _jnp.float32)
         self.variables = variables
         self.finetuned = finetuned
         self.batch_size = batch_size

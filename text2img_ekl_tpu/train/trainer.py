@@ -278,8 +278,11 @@ class CondGANTrainer:
                 jax.random.PRNGKey(7), num_classes, flavor)
             print('!! Inception weights are random (no checkpoint found): '
                   'in-training IS is a relative signal only')
+        # bf16 tower for the in-training gate (relative signal; ~26%
+        # faster); offline eval scoring uses f32.
         return InceptionScorer(variables, num_classes,
-                               finetuned=not general, flavor=flavor)
+                               finetuned=not general, flavor=flavor,
+                               dtype=jnp.bfloat16)
 
     def _sample_like(self, state, batch, rng):
         """Fake images for the IS stream, using current params (the
