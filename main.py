@@ -71,6 +71,10 @@ def main():
 
     print('Top-stack images size: %dx%d' % (cfg.imsize, cfg.imsize))
 
+    from text2img_ekl_tpu.parallel.mesh import init_distributed
+    if init_distributed():
+        print('jax.distributed initialized (multi-host)')
+
     from text2img_ekl_tpu.train.trainer import CondGANTrainer
     algo = CondGANTrainer(cfg, output_dir)
 

@@ -1,1 +1,3 @@
-from .mesh import make_mesh, data_sharding, replicate_sharding, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    make_mesh, data_sharding, init_distributed, replicate_sharding,
+    shard_batch)

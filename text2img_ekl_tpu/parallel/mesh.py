@@ -23,6 +23,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host (DCN) runs when the
+    standard coordinator env vars are present; no-op otherwise.
+
+    The data axis then spans all hosts' devices: per-host batch shards ride
+    ICI within a slice and DCN across slices, with no trainer changes.
+    """
+    import os
+    if os.environ.get('JAX_COORDINATOR_ADDRESS') or \
+            os.environ.get('COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(num_devices: int = 0,
               devices: Optional[Sequence[Any]] = None) -> Mesh:
     """A 1-D data-parallel mesh over the given (or all local) devices."""
