@@ -74,12 +74,12 @@ def main():
 
     # warmup/compile; sync via value fetch (block_until_ready does not
     # actually block on the tunneled axon backend)
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics['errG']))
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2 + i))
+        state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(2 + i))
     assert np.isfinite(float(metrics['errG']))
     dt = time.perf_counter() - t0
 

@@ -95,3 +95,39 @@ def test_train_checkpoint_resume_evaluate(tiny_cfg, tmp_path):
         batch_size=8)
     mean, std = scorer.score_images(imgs, num_splits=1)
     assert np.isfinite(mean) and mean >= 1.0
+
+    # --- train-mode resume from TRAIN.NET_G (cub_trainer:170-184) -------
+    ckpt0 = os.path.join(out, 'Model', 'state_epoch0')
+    assert os.path.exists(ckpt0)
+    import copy as _copy
+    resume_cfg = _copy.deepcopy(tiny_cfg)
+    resume_cfg.TRAIN.NET_G = ckpt0
+    # the parsed epoch (0 -> resume at 1) must leave room to actually train
+    resume_cfg.TRAIN.MAX_EPOCH = 2
+    trainer3 = CondGANTrainer(resume_cfg, out)
+    trainer3.data_loader = trainer.data_loader
+    trainer3.num_batches = trainer.num_batches
+    state3 = trainer3.train(max_steps=1)
+    # restored the full state (step counter came back from the checkpoint)
+    assert int(np.asarray(state3.step)) == int(np.asarray(state2.step)) + 1
+
+    # --- reference eval dir naming + cls_share + SAMPLE_NUM protocol ----
+    eval_cfg2 = _copy.deepcopy(eval_cfg)
+    eval_cfg2.TRAIN.NET_G = ckpt0
+    eval_cfg2.TEST.CLS_PRIOR = True
+    eval_cfg2.TEST.CLS_SHARE = True
+    eval_cfg2.TEST.SAMPLE_NUM = 50  # > one pass (4 items x 10 captions x 1)
+    ev2 = CondGANTrainer(eval_cfg2, out)
+    ev2.data_loader = ev.data_loader
+    ev2.num_batches = ev.num_batches
+    # dir name encodes mode / clsprior-share / epoch token / run token
+    # (cub_trainer_splitz_cap_ca.py:829-845)
+    rel = ev2._eval_save_dir('trainmode')  # run token = NET_G's [-3] part
+    assert rel == os.path.join(
+        'eval', 'Testset_trainmode_fixednoise_clsprior-share_0_run')
+    save_dir2 = ev2.evaluate('test', state=state3)  # no max_batches: 30k path
+    pngs2 = glob.glob(os.path.join(save_dir2, 'single_samples', '**',
+                                   '*.png'), recursive=True)
+    # honors TEST.SAMPLE_NUM by re-passing the loader with fresh noise ids
+    assert len(pngs2) == 50
+    assert any('_nid1' in p for p in pngs2)  # second pass happened

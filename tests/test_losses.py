@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from text2img_ekl_tpu.train.losses import bce, ce_loss, kl_loss, nll_loss
+from text2img_ekl_tpu.train.losses import (bce, ce_loss,
+                                           color_consistency_loss,
+                                           compute_mean_covariance, kl_loss,
+                                           nll_loss)
 
 RNG = jax.random.PRNGKey(0)
 
@@ -63,6 +66,40 @@ def test_kl_loss_closed_form():
     expected = -0.5 * (1 + 0 - 1 - 1)
     np.testing.assert_allclose(float(kl_loss(mu, jnp.zeros((2, 2)))),
                                expected, rtol=1e-6)
+
+
+def test_compute_mean_covariance_matches_torch_reference():
+    """Channel mean/cov vs a literal port of the reference helper
+    (trainer.py:29-47; NCHW there, NHWC here)."""
+    torch = pytest.importorskip('torch')
+    rs = np.random.RandomState(0)
+    img = rs.uniform(-1, 1, (4, 8, 8, 3)).astype('float32')
+    t = torch.tensor(img).permute(0, 3, 1, 2)  # NCHW
+    b, c, h, w = t.shape
+    tmu = t.mean(2, keepdim=True).mean(3, keepdim=True)
+    hat = (t - tmu.expand_as(t)).view(b, c, h * w)
+    tcov = torch.bmm(hat, hat.transpose(1, 2)) / (h * w)
+    mu, cov = compute_mean_covariance(jnp.array(img))
+    np.testing.assert_allclose(np.asarray(mu), tmu.squeeze(-1).squeeze(-1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov), tcov.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_color_consistency_loss_zero_on_identical_stats():
+    """Same image at both stages -> zero loss; gradient flows only through
+    the higher stage (the lower is stop_gradient'ed, StackGAN-v2 style)."""
+    img = jax.random.uniform(RNG, (2, 8, 8, 3), minval=-1, maxval=1)
+    val = float(color_consistency_loss([img, img], coeff=50.0))
+    np.testing.assert_allclose(val, 0.0, atol=1e-5)
+    other = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3),
+                               minval=-1, maxval=1)
+    assert float(color_consistency_loss([img, other], coeff=50.0)) > 0
+    g_lo, g_hi = jax.grad(
+        lambda lo, hi: color_consistency_loss([lo, hi], 50.0),
+        argnums=(0, 1))(img, other)
+    assert float(jnp.max(jnp.abs(g_lo))) == 0.0
+    assert float(jnp.max(jnp.abs(g_hi))) > 0.0
 
 
 def test_kl_loss_matches_torch_formula():

@@ -80,7 +80,7 @@ def flagship_run(flagship):
     cfg, state, batch, step = flagship
     g0 = np.asarray(jax.tree.leaves(state.g_params)[0])
     d0 = np.asarray(jax.tree.leaves(state.d_params[0])[0])
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    new_state, metrics, fakes = step(state, batch, jax.random.PRNGKey(1))
     g1 = np.asarray(jax.tree.leaves(new_state.g_params)[0])
     d1 = np.asarray(jax.tree.leaves(new_state.d_params[0])[0])
     bs_leaf = jax.tree.leaves(new_state.g_batch_stats)[0]
@@ -89,13 +89,25 @@ def flagship_run(flagship):
     metrics = {k: float(v) for k, v in metrics.items()}
     return dict(cfg=cfg, batch=batch, step=step, state=new_state,
                 metrics=metrics, g0=g0, g1=g1, d0=d0, d1=d1,
-                bs_shards=bs_shards, step_no=step_no)
+                bs_shards=bs_shards, step_no=step_no,
+                fakes=np.asarray(fakes))
 
 
 def test_flagship_step_metrics_finite(flagship_run):
     assert flagship_run['step_no'] == 1
     for k, v in flagship_run['metrics'].items():
         assert np.isfinite(v), k
+
+
+def test_flagship_step_returns_top_stage_fakes(flagship_run):
+    """The step hands back its own top-stage fakes for the IS stream
+    (reference scores the step's fakes, cub_trainer:613-623)."""
+    r = flagship_run
+    top = r['cfg'].branch_sizes()[-1]
+    B = r['batch']['real'][0].shape[0]
+    assert r['fakes'].shape == (B, top, top, 3)
+    assert np.all(np.isfinite(r['fakes']))
+    assert np.max(np.abs(r['fakes'])) <= 1.0  # tanh output
 
 
 def test_flagship_params_update(flagship_run):
@@ -129,15 +141,46 @@ def test_flagship_d_learns_on_fixed_batch(flagship_run):
     first = flagship_run['metrics']['errD_match']
     metrics = None
     for i in range(4):
-        state, metrics = step(state, batch, jax.random.PRNGKey(2 + i))
+        state, metrics, _ = step(state, batch, jax.random.PRNGKey(2 + i))
         for k, v in metrics.items():
             assert np.isfinite(float(v)), (i, k)
     assert float(metrics['errD_match']) < first
 
 
+def test_gspmd_mode_matches_single_device():
+    """TPU_SPMD_MODE='gspmd' (the jit-with-shardings fallback, PERF.md
+    pitfall 1): the 8-device partitioned program computes the SAME step as
+    the identical program on one device — same global-batch BN stats, same
+    grads — so switching modes on real multi-chip hardware is numerically
+    free."""
+    name = 'birds_2stg_splitz_cap_ca.realcls.yml'
+    cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
+    cfg.TPU_SPMD_MODE = 'gspmd'
+    mesh = make_mesh()
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    batch = _batch(cfg, 16)
+    state_a = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    state_b = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    step_g = make_train_step(cfg, G, Ds, mesh)
+    step_1 = make_train_step(cfg, G, Ds, None)
+
+    sa, ma, fa = step_g(state_a, shard_batch(mesh, batch),
+                        jax.random.PRNGKey(1))
+    sb, mb, fb = step_1(state_b, batch, jax.random.PRNGKey(1))
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(sa.g_params)[0]),
+                               np.asarray(jax.tree.leaves(sb.g_params)[0]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               atol=1e-4)
+
+
 def test_coco_strategy_step():
     cfg, state, batch, step = _setup('coco_2stgs.yml', coco=True)
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    new_state, metrics, _ = step(state, batch, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
     assert float(metrics['kl_cls']) == 0.0  # single KL for the coco path

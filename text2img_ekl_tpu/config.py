@@ -36,6 +36,11 @@ class TestConfig:
     EVAL_MODE: bool = True
     G_CAPSULE: bool = False
     CLS_PRIOR: bool = False
+    # Surfaces the reference's hard-coded ``cls_share`` local: the 10
+    # captions of an image share one fixed N(0,1) class prior
+    # (cub_trainer_splitz_cap_ca.py:810-812,866-867). Only meaningful with
+    # CLS_PRIOR=True.
+    CLS_SHARE: bool = False
 
 
 @dataclass
@@ -123,6 +128,13 @@ class Config:
     TPU_BN_DTYPE: str = 'float32'
     # Number of data-parallel shards ('auto' = all local devices).
     TPU_DATA_PARALLEL: int = 0  # 0 => use every available device
+    # Multi-device SPMD strategy: 'shard_map' (hand-SPMD, per-replica
+    # BatchNorm stats — DataParallel-faithful) or 'gspmd' (plain jit with
+    # sharding annotations; XLA partitions and inserts collectives, BN
+    # becomes global-batch/sync statistics). 'gspmd' is the one-flag
+    # fallback for backends whose AOT path executes hand-SPMD programs
+    # slowly (PERF.md pitfall 1).
+    TPU_SPMD_MODE: str = 'shard_map'
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3
@@ -130,6 +142,10 @@ class Config:
     TPU_CAPSULE_PALLAS: bool = True
     # Synthetic data fallback when DATA_DIR has no dataset on disk.
     TPU_SYNTHETIC_DATA: bool = False
+    # Decode JPEG batches through the native C++ pipeline
+    # (native/dataloader.cpp) instead of per-item PIL; falls back to PIL
+    # when the library cannot build (no g++/libjpeg).
+    TPU_NATIVE_DECODE: bool = True
     # Steps between on-device inception-score prediction batches (the
     # reference evaluates every other step; cub_trainer_splitz_cap_ca.py:614).
     TPU_IS_EVERY: int = 2

@@ -46,7 +46,8 @@ class TextDataset:
     def __init__(self, data_dir: str, split: str = 'train',
                  embedding_type: str = 'cnn-rnn', base_size: int = 64,
                  branch_num: int = 2, entity_dim: int = 200,
-                 train_pairs: bool = True, transform=None, seed: int = 0):
+                 train_pairs: bool = True, transform=None, seed: int = 0,
+                 native_decode: bool = False):
         self.data_dir = data_dir
         self.branch_num = branch_num
         self.entity_dim = entity_dim
@@ -55,6 +56,8 @@ class TextDataset:
         self.transform = transform or T.build_train_transform(self.imsize[-1])
         self.is_coco = data_dir.rstrip('/').endswith('coco')
         self.rng = np.random.default_rng(seed)
+        self.native_decode = native_decode
+        self._native = None  # lazily-built NativeDecoder
 
         self.bbox = self._load_bbox() if 'birds' in data_dir else None
         split_dir = os.path.join(data_dir, split)
@@ -111,6 +114,64 @@ class TextDataset:
             img = T.bbox_crop(img, self.bbox[key])
         img = self.transform(img, rng)
         return T.multiscale_pyramid(img, self.imsize)
+
+    # -- batch-granular native decode -----------------------------------
+    def _native_decoder(self):
+        if self._native is None:
+            from .native_loader import NativeDecoder
+            self._native = NativeDecoder(self.imsize)
+        return self._native
+
+    def batch_items(self, indices, seed: int = 0):
+        """Assemble a whole batch through the native C++ decoder
+        (native/dataloader.cpp): one decode_batch call covers every real
+        AND wrong image, with the oversize-resize/random-crop/flip/pyramid
+        pipeline running in C++ threads off the Python critical path.
+
+        Returns the same batch dict the per-item path collates to. Raises
+        NativeUnavailable when the library cannot build — callers fall back
+        to per-item PIL decode.
+        """
+        dec = self._native_decoder()
+        indices = [int(i) for i in indices]
+        keys = [self.filenames[i] for i in indices]
+        rng = self.rng
+
+        if self.train_pairs:
+            wrong = []
+            for i in indices:
+                w = int(rng.integers(0, len(self.filenames)))
+                if w == i:
+                    w = int(rng.integers(0, len(self.filenames)))
+                wrong.append(w)
+            all_keys = keys + [self.filenames[w] for w in wrong]
+        else:
+            all_keys = keys
+        paths = [self._image_path(k) for k in all_keys]
+        bboxes = None
+        if self.bbox is not None:
+            bboxes = np.asarray([self.bbox[k] for k in all_keys], np.float32)
+        outs = dec.decode_batch(paths, bboxes=bboxes,
+                                train=self.train_pairs, seed=seed)
+        n = len(indices)
+        batch = {'key': keys}
+        if self.train_pairs:
+            batch['imgs'] = tuple(o[:n] for o in outs)
+            batch['wrong_imgs'] = tuple(o[n:] for o in outs)
+            cap_ix = [int(rng.integers(0, self.embeddings.shape[1]))
+                      for _ in indices]
+            batch['embedding'] = np.stack(
+                [self.embeddings[i, c, :] for i, c in zip(indices, cap_ix)])
+            batch['cls'] = np.stack(
+                [np.asarray(self._class_vector(i)) for i in indices])
+        else:
+            batch['imgs'] = tuple(outs)
+            batch['embeddings'] = np.stack(
+                [self.embeddings[i] for i in indices])
+            batch['cls'] = np.stack([
+                np.asarray(np.int64(self.class_id[i]) if not self.is_coco
+                           else self._class_vector(i)) for i in indices])
+        return batch
 
     # -- item assembly (datasets.py:294-366) ---------------------------
     def _class_vector(self, index: int):

@@ -65,6 +65,7 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         indices = self._epoch_indices()
+        epoch = self._epoch
         self._epoch += 1
         n_batches = len(self)
         bs = self.batch_size
@@ -73,12 +74,30 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            # Batch-granular native C++ decode when the dataset supports it
+            # (TextDataset.batch_items); falls back to per-item PIL decode
+            # in the thread pool if the native library cannot build.
+            use_native = (getattr(self.dataset, 'native_decode', False)
+                          and hasattr(self.dataset, 'batch_items'))
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for b in range(n_batches):
                         if stop.is_set():
                             return
                         batch_idx = indices[b * bs:(b + 1) * bs]
+                        if use_native:
+                            try:
+                                q.put(self.dataset.batch_items(
+                                    batch_idx,
+                                    seed=self._seed + (epoch << 20) + b))
+                                continue
+                            except Exception as e:
+                                from .native_loader import NativeUnavailable
+                                if not isinstance(e, NativeUnavailable):
+                                    raise
+                                print('!! native decode unavailable, '
+                                      'using PIL: %s' % e)
+                                use_native = False
                         items = list(pool.map(self.dataset.__getitem__,
                                               batch_idx))
                         q.put(self.collate(items))

@@ -26,7 +26,11 @@ from typing import Any, Dict
 import numpy as np
 
 def _require(path: str, what: str):
-    if not path or not os.path.exists(path):
+    # TF checkpoints are a PREFIX (model.ckpt.index + .data-*), so accept
+    # either a real file or a prefix whose .index exists, exactly what
+    # tf.train.Saver.restore takes (inception_score.py:287).
+    if not path or not (os.path.exists(path)
+                        or os.path.exists(path + '.index')):
         raise FileNotFoundError(
             '%s not found at %r — download the reference checkpoint and '
             'point the converter at it; random weights are only valid for '
@@ -57,9 +61,12 @@ def slim_vars_to_flax(tf_vars: Dict[str, np.ndarray],
                       flax_variables: Dict[str, Any]) -> Dict[str, Any]:
     """Map slim variable names onto our flax InceptionV3 variable tree.
 
-    Slim names look like 'inception_v3/mixed_35x35x256a/branch1x1/Conv/
-    weights'; ours mirror the block/branch names, so the mapping walks our
-    tree and looks up the slim twin. Raises KeyError listing any miss.
+    The vendored slim tower creates variables under the scopes of
+    inception_model.py:87-330 with NO outer variable scope (the
+    'inception_v3' wrapper is a tf.name_scope only, which does not touch
+    variable names): 'conv0/weights', 'mixed_35x35x256a/branch5x5/Conv_1/
+    BatchNorm/beta', 'logits/logits/weights'. The mapping walks our tree,
+    derives each leaf's slim twin, and raises KeyError listing any miss.
     """
     import flax
 
@@ -68,7 +75,10 @@ def slim_vars_to_flax(tf_vars: Dict[str, np.ndarray],
     new = {}
     for path, val in flat.items():
         tf_name = _flax_path_to_slim(path)
-        cand = [k for k in tf_vars if k.endswith(tf_name) or k == tf_name]
+        if tf_name in tf_vars:
+            cand = [tf_name]
+        else:  # tolerate an extra outer scope prefix
+            cand = [k for k in tf_vars if k.endswith('/' + tf_name)]
         if not cand:
             missing.append('/'.join(str(p) for p in path))
             new[path] = val
@@ -82,27 +92,60 @@ def slim_vars_to_flax(tf_vars: Dict[str, np.ndarray],
     return flax.traverse_util.unflatten_dict(new)
 
 
+# Our module name -> the slim scope name where they differ: the 17->8 grid
+# reduction block is scoped 'mixed_17x17x1280a' in the vendored tower
+# (inception/slim/inception_model.py:266).
+_SLIM_BLOCK_RENAME = {'mixed_8x8x1280a': 'mixed_17x17x1280a'}
+
+
+def _split_branch(name: str):
+    """'branch5x5_2' -> ('branch5x5', 1); 'branch3x3dbl_3a' -> (..., 2).
+
+    Slim puts every conv of a branch in ONE variable_scope, so TF
+    auto-uniquifies the default 'Conv' op scope: the k-th conv is
+    Conv / Conv_1 / Conv_2 ... in creation order. Our modules name them
+    branch_1/_2/... (with a/b for the parallel split pairs, which slim
+    creates a-then-b)."""
+    import re
+    m = re.match(r'^(branch\w*?)_(\d)([ab])?$', name)
+    if not m:
+        return name, 0
+    idx = int(m.group(2)) - 1 + (1 if m.group(3) == 'b' else 0)
+    return m.group(1), idx
+
+
 def _flax_path_to_slim(path) -> str:
-    """('params','mixed_35x35x256a','branch1x1','Conv_0','kernel') ->
-    'mixed_35x35x256a/branch1x1/Conv/weights' style suffix."""
+    """Flax tree path -> exact slim checkpoint variable name.
+
+    ('params','mixed_35x35x256a','branch5x5_2','Conv_0','kernel')
+        -> 'mixed_35x35x256a/branch5x5/Conv_1/weights'
+    ('params','conv0','BatchNorm_0','bias') -> 'conv0/BatchNorm/beta'
+        (stem convs pass their name as the conv2d scope itself,
+        inception_model.py:87-102)
+    ('params','logits','kernel') -> 'logits/logits/weights'
+        (ops.fc scope 'logits' inside variable_scope('logits'),
+        inception_model.py:318-326)
+    """
     parts = [str(p) for p in path if str(p) not in ('params', 'batch_stats')]
     leaf = parts[-1]
-    stem = parts[:-1]
-    leaf_map = {
-        'kernel': 'weights', 'bias': 'biases',
-        'mean': 'moving_mean', 'var': 'moving_variance',
-        'scale': 'gamma',
-    }
-    # our ConvBN nests Conv_0 / BatchNorm_0
-    mapped = []
-    for p in stem:
-        if p.startswith('Conv'):
-            mapped.append('Conv')
-        elif p.startswith('BatchNorm'):
-            mapped.append('BatchNorm')
-        else:
-            mapped.append(p)
-    return '/'.join(mapped + [leaf_map.get(leaf, leaf)])
+    mods = parts[:-1]
+    is_bn = bool(mods) and mods[-1].startswith('BatchNorm')
+    mods = [m for m in mods if not m.startswith(('Conv', 'BatchNorm'))]
+    if mods and mods[0] == 'logits':
+        return 'logits/logits/%s' % {'kernel': 'weights',
+                                     'bias': 'biases'}[leaf]
+    if len(mods) == 1:
+        scope = mods[0]  # stem conv: the module name IS the conv2d scope
+    else:
+        block = _SLIM_BLOCK_RENAME.get(mods[0], mods[0])
+        branch, idx = _split_branch(mods[1])
+        conv = 'Conv' if idx == 0 else 'Conv_%d' % idx
+        scope = '%s/%s/%s' % (block, branch, conv)
+    if is_bn:
+        leaf_name = {'bias': 'beta', 'scale': 'gamma',
+                     'mean': 'moving_mean', 'var': 'moving_variance'}[leaf]
+        return '%s/BatchNorm/%s' % (scope, leaf_name)
+    return '%s/%s' % (scope, {'kernel': 'weights', 'bias': 'biases'}[leaf])
 
 
 def load_frozen_graph_weights(pb_path: str) -> Dict[str, np.ndarray]:

@@ -18,6 +18,7 @@ All computed in float32.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _LOG_CLAMP = 100.0
@@ -50,6 +51,37 @@ def kl_loss(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     logvar = logvar.astype(jnp.float32)
     element = 1.0 + logvar - jnp.square(mu) - jnp.exp(logvar)
     return -0.5 * jnp.mean(element)
+
+
+def compute_mean_covariance(img: jnp.ndarray):
+    """Per-image channel mean and channel covariance (trainer.py:29-47).
+
+    ``img`` is NHWC; returns (mu [B, C], covariance [B, C, C]) where the
+    covariance is E[(x-mu)(x-mu)^T] over the H*W pixels — the reference's
+    values modulo its NCHW [B, C, 1, 1] mu shape.
+    """
+    img = img.astype(jnp.float32)
+    b, h, w, c = img.shape
+    mu = jnp.mean(img, axis=(1, 2))                      # [B, C]
+    hat = (img - mu[:, None, None, :]).reshape(b, h * w, c)
+    cov = jnp.einsum('bpc,bpd->bcd', hat, hat) / (h * w)
+    return mu, cov
+
+
+def color_consistency_loss(imgs, coeff: float) -> jnp.ndarray:
+    """StackGAN++ color-consistency regularization between consecutive
+    stage outputs: coeff * MSE(mu_hi, sg(mu_lo)) + coeff * 5 *
+    MSE(cov_hi, sg(cov_lo)). The reference carries the helper
+    (trainer.py:29-47) and the COEFF.COLOR_LOSS key (miscc/config.py:61)
+    from upstream StackGAN-v2, where this is its exact consumer."""
+    total = jnp.zeros((), jnp.float32)
+    for lo, hi in zip(imgs[:-1], imgs[1:]):
+        mu_lo, cov_lo = compute_mean_covariance(
+            jax.lax.stop_gradient(lo.astype(jnp.float32)))
+        mu_hi, cov_hi = compute_mean_covariance(hi)
+        total += coeff * jnp.mean(jnp.square(mu_hi - mu_lo))
+        total += coeff * 5.0 * jnp.mean(jnp.square(cov_hi - cov_lo))
+    return total
 
 
 def nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

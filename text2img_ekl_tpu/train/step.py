@@ -36,7 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.generator import CondGNet, GNet
 from ..parallel.mesh import DATA_AXIS
-from .losses import bce, ce_loss, kl_loss
+from .losses import bce, ce_loss, color_consistency_loss, kl_loss
 from .state import TrainState, make_optimizer
 
 
@@ -64,8 +64,11 @@ def cond_code_width(cfg) -> int:
 def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     """Build the fused, jitted train step.
 
-    Returns ``step_fn(state, batch, rng) -> (new_state, metrics)``. ``batch``
-    is a dict with keys:
+    Returns ``step_fn(state, batch, rng) -> (new_state, metrics, fakes)``
+    where ``fakes`` is the top-stage generated batch (device-resident, for
+    the in-training IS stream — the reference scores the step's own fakes,
+    cub_trainer_splitz_cap_ca.py:613-623, so no extra G forward is paid).
+    ``batch`` is a dict with keys:
       real:   tuple of [B, s, s, 3] per branch (in [-1, 1])
       wrong:  tuple of [B, s, s, 3] per branch
       txt:    [B, TEXT.DIMENSION]           (split-z strategies)
@@ -79,8 +82,15 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     # identical program under plain jit) — compile the local step directly.
     if mesh is not None and mesh.devices.size == 1:
         mesh = None
+    spmd_mode = getattr(cfg, 'TPU_SPMD_MODE', 'shard_map')
+    if spmd_mode not in ('shard_map', 'gspmd'):
+        raise ValueError('TPU_SPMD_MODE must be shard_map|gspmd, got %r'
+                         % spmd_mode)
+    gspmd = mesh is not None and spmd_mode == 'gspmd'
+    coll_mesh = None if gspmd else mesh  # gspmd: XLA inserts collectives
     uncond_coeff = float(cfg.TRAIN.COEFF.UNCOND_LOSS)
     kl_coeff = float(cfg.TRAIN.COEFF.KL)
+    color_coeff = float(cfg.TRAIN.COEFF.COLOR_LOSS)
     ema_decay = float(getattr(cfg, 'TPU_EMA_DECAY', 0.0))
     cat_z = cfg.TRAIN.CAT_Z
     z_dim = cfg.GAN.Z_DIM
@@ -90,12 +100,12 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     single_cond = isinstance(G, CondGNet)
 
     def pmean(x):
-        if mesh is None:
+        if coll_mesh is None:
             return x
         return jax.lax.pmean(x, DATA_AXIS)
 
     def local_step(state: TrainState, batch: Dict[str, Any], rng):
-        if mesh is not None:
+        if coll_mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         bsz = batch['real'][0].shape[0]
         k_noise, k_reparam, k_prior = jax.random.split(rng, 3)
@@ -197,6 +207,8 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
                 final_bs.append(s['batch_stats'])
             kls = [kl_loss(mu, lv) for mu, lv in zip(mus_, logvars_)]
             total = match + uncond + cls_ + sum(kls) * kl_coeff
+            if color_coeff > 0 and num_ds > 1:
+                total += color_consistency_loss(imgs_[:num_ds], color_coeff)
             return total, (match, uncond, cls_, tuple(kls), tuple(final_bs))
 
         (errGs, (g_match, g_uncond, g_cls, kls, final_d_bs)), out_grads = \
@@ -241,7 +253,8 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         }
         metrics = {k: pmean(jnp.asarray(v, jnp.float32))
                    for k, v in metrics.items()}
-        return new_state, metrics
+        fakes = jax.lax.stop_gradient(imgs[-1])
+        return new_state, metrics, fakes
 
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,))
@@ -257,10 +270,26 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         batch_spec['txt'] = P(DATA_AXIS)
         batch_spec['cls_onehot'] = P(DATA_AXIS)
 
+    if gspmd:
+        # GSPMD data parallelism: the GLOBAL-batch program, jitted with
+        # sharding annotations (params replicated, batch sharded). XLA
+        # partitions the convs and inserts the gradient collectives itself;
+        # numerics are identical to the same program on one device (see
+        # tests/test_train_step.py::test_gspmd_mode_matches_single_device).
+        from jax.sharding import NamedSharding
+        rep = NamedSharding(mesh, P())
+        shard0 = NamedSharding(mesh, P(DATA_AXIS))
+        batch_sh = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec), batch_spec,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.jit(local_step, donate_argnums=(0,),
+                       in_shardings=(rep, batch_sh, rep),
+                       out_shardings=(rep, rep, shard0))
+
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), batch_spec, P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -112,7 +112,7 @@ class CondGANTrainer:
                 cfg.DATA_DIR, split, cfg.EMBEDDING_TYPE,
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
                 entity_dim=cfg.GAN.ENTITY_DIM, train_pairs=cfg.TRAIN.FLAG,
-                transform=transform)
+                transform=transform, native_decode=cfg.TPU_NATIVE_DECODE)
         return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
                           drop_last=True, num_workers=int(cfg.WORKERS))
 
@@ -148,12 +148,30 @@ class CondGANTrainer:
         state = create_train_state(cfg, self.G, self.Ds,
                                    jax.random.PRNGKey(0), self.cond_width)
         start_epoch = 0
-        latest = self.ckpt.latest()
-        if latest is not None:
-            state = self._place_state(self.ckpt.restore(state, latest))
-            start_epoch = int(np.asarray(state.step)) // max(
-                1, self.num_batches)
-            print('Resumed from %s (epoch %d)' % (latest, start_epoch))
+        if cfg.TRAIN.NET_G:
+            # Explicit train-mode resume: the reference parses the epoch
+            # from the configured checkpoint filename and continues
+            # (cub_trainer_splitz_cap_ca.py:170-184). Our own checkpoints
+            # restore the FULL TrainState (params+BN+Adam+step); reference
+            # .pth snapshots restore netG weights exactly as there.
+            from ..io_utils.checkpoint import (parse_epoch_from_path,
+                                               restore_train_state)
+            if cfg.TRAIN.NET_G.endswith('.pth'):
+                state = self._place_state(self._load_pth_generator(
+                    cfg.TRAIN.NET_G, state))
+            else:
+                state = self._place_state(
+                    restore_train_state(cfg.TRAIN.NET_G, state))
+            start_epoch = parse_epoch_from_path(cfg.TRAIN.NET_G)
+            print('Load %s (resuming at epoch %d)'
+                  % (cfg.TRAIN.NET_G, start_epoch))
+        else:
+            latest = self.ckpt.latest()
+            if latest is not None:
+                state = self._place_state(self.ckpt.restore(state, latest))
+                start_epoch = int(np.asarray(state.step)) // max(
+                    1, self.num_batches)
+                print('Resumed from %s (epoch %d)' % (latest, start_epoch))
         step_fn = make_train_step(cfg, self.G, self.Ds, self.mesh)
 
         scorer = self._make_is_scorer() if not cfg.TRAIN.BIG_EVAL else None
@@ -191,7 +209,7 @@ class CondGANTrainer:
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 3:
                     jax.profiler.start_trace(
                         os.path.join(self.log_dir, 'profile'))
-                state, metrics = step_fn(state, batch, step_rng)
+                state, metrics, step_fakes = step_fn(state, batch, step_rng)
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 7:
                     jax.block_until_ready(state.g_params)
                     jax.profiler.stop_trace()
@@ -199,8 +217,10 @@ class CondGANTrainer:
                 total_steps += 1
 
                 if scorer is not None and step_i % cfg.TPU_IS_EVERY == 1:
-                    fakes = self._sample_like(state, batch, step_rng)
-                    scorer.add(fakes[-1])
+                    # the step's own fakes, device-resident — one inception
+                    # forward is the gate's only cost (the reference reuses
+                    # its fakes the same way, cub_trainer:613-623)
+                    scorer.add(step_fakes)
                 if count % 100 == 0:
                     self.logger.log_scalars(
                         count, {k: float(v) for k, v in metrics.items()})
@@ -285,8 +305,9 @@ class CondGANTrainer:
                                dtype=jnp.bfloat16)
 
     def _sample_like(self, state, batch, rng):
-        """Fake images for the IS stream, using current params (the
-        reference reuses the step's fakes; a fresh draw is equivalent)."""
+        """All-stage fake images with current params (epoch image grids and
+        the BIG_EVAL path; the in-training IS stream reuses the step's own
+        fakes instead — no extra G forward)."""
         g_vars = {'params': state.g_params,
                   'batch_stats': state.g_batch_stats}
         if not hasattr(self, '_train_sampler'):
@@ -298,6 +319,16 @@ class CondGANTrainer:
             return self._train_sampler(g_vars, rng, noise, batch['cond'])
         return self._train_sampler(g_vars, rng, noise, batch['txt'],
                                    batch['cls_onehot'])
+
+    def _load_pth_generator(self, pth_path: str, state):
+        """Reference .pth netG snapshot -> generator params/BN stats in the
+        given TrainState (Ds/optimizers keep their fresh init, exactly the
+        information a reference snapshot carries)."""
+        from ..io_utils.torch_import import load_torch_generator
+        g_vars = load_torch_generator(pth_path, {
+            'params': state.g_params, 'batch_stats': state.g_batch_stats})
+        return state.replace(g_params=g_vars['params'],
+                             g_batch_stats=g_vars['batch_stats'])
 
     def _place_state(self, state):
         """Re-place restored arrays for the mesh: replicated on multi-device
@@ -348,61 +379,118 @@ class CondGANTrainer:
             abstract = create_train_state(cfg, self.G, self.Ds,
                                           jax.random.PRNGKey(0),
                                           self.cond_width)
-            from ..io_utils.checkpoint import restore_train_state
-            state = self._place_state(
-                restore_train_state(cfg.TRAIN.NET_G, abstract))
+            if cfg.TRAIN.NET_G.endswith('.pth'):
+                # reference-trained torch snapshot (eval configs point at
+                # netG_*.pth, e.g. cfg/eval_birds.yml)
+                state = self._place_state(self._load_pth_generator(
+                    cfg.TRAIN.NET_G, abstract))
+            else:
+                from ..io_utils.checkpoint import restore_train_state
+                state = self._place_state(
+                    restore_train_state(cfg.TRAIN.NET_G, abstract))
         g_vars = {'params': state.g_params,
                   'batch_stats': state.g_batch_stats}
         sampler = make_sample_fn(cfg, self.G, self.mesh,
                                  train_mode=not cfg.TEST.EVAL_MODE)
 
         mode = 'evalmode' if cfg.TEST.EVAL_MODE else 'trainmode'
-        save_dir = os.path.join(
-            self.output_dir, 'eval', 'Testset_%s_fixednoise' % mode)
+        save_dir = os.path.join(self.output_dir, self._eval_save_dir(mode))
+        print('Save to %s' % save_dir)
         embedding_dim = 10
-        sample_num = 1  # standard StackGAN eval protocol
+        # one draw per caption per pass — the standard StackGAN protocol the
+        # reference hard-codes (cub_trainer_splitz_cap_ca.py:826); the
+        # offline 30k-sample protocol (TEST.SAMPLE_NUM, miscc/config.py:32)
+        # is reached by re-passing the test loader with fresh noise ids.
+        sample_num = 1
         rng = jax.random.PRNGKey(100)  # manualSeed=100 at eval (main.py:88)
+        cls_share = cfg.TEST.CLS_PRIOR and cfg.TEST.CLS_SHARE
+        single_pass = cfg.TEST.B_EXAMPLE or max_batches is not None
+        target = None if single_pass else int(cfg.TEST.SAMPLE_NUM)
 
         count = 0
-        for step, data in enumerate(self.data_loader):
-            if max_batches is not None and step >= max_batches:
-                break
-            embeddings = np.asarray(data['embeddings'], np.float32)
-            cls = np.asarray(data['cls'])
-            if not self.is_coco:
-                cls0 = cls - 1
-                cls_onehot = np.eye(cfg.GAN.ENTITY_DIM,
-                                    dtype=np.float32)[cls0]
-            bsz = embeddings.shape[0]
-            rng, k_noise = jax.random.split(rng)
-            noise = jax.random.normal(k_noise, (bsz, cfg.GAN.Z_DIM))
+        nid_base = 0
+        done = False
+        while not done:
+            for step, data in enumerate(self.data_loader):
+                if max_batches is not None and step >= max_batches:
+                    break
+                embeddings = np.asarray(data['embeddings'], np.float32)
+                cls = np.asarray(data['cls'])
+                if not self.is_coco:
+                    cls0 = cls - 1
+                    cls_onehot = np.eye(cfg.GAN.ENTITY_DIM,
+                                        dtype=np.float32)[cls0]
+                bsz = embeddings.shape[0]
+                rng, k_noise = jax.random.split(rng)
+                noise = jax.random.normal(k_noise, (bsz, cfg.GAN.Z_DIM))
+                if cls_share:
+                    # the 10 captions share one fixed class prior
+                    rng, k_prior = jax.random.split(rng)
+                    shared_prior = jax.random.normal(
+                        k_prior, (bsz, cfg.GAN.MANIFD_DIM))
 
-            fake_img_list = []
-            for i in range(min(embedding_dim, embeddings.shape[1])):
-                for j in range(sample_num):
-                    if sample_num > 1:
-                        rng, k_noise = jax.random.split(rng)
-                        noise = jax.random.normal(
-                            k_noise, (bsz, cfg.GAN.Z_DIM))
-                    rng, k_s = jax.random.split(rng)
-                    emb_i = jnp.asarray(embeddings[:, i, :])
-                    if self.is_coco:
-                        cond = jnp.concatenate(
-                            [emb_i, jnp.asarray(cls, jnp.float32)], axis=1)
-                        fakes = sampler(g_vars, k_s, noise, cond)
-                    else:
-                        fakes = sampler(g_vars, k_s, noise, emb_i,
-                                        jnp.asarray(cls_onehot))
-                    if cfg.TEST.B_EXAMPLE:
-                        fake_img_list.append(np.asarray(fakes[-1]))
-                    else:
-                        save_single_images(
-                            np.asarray(fakes[-1]), data['key'], save_dir,
-                            split_dir, i, cls, cfg.imsize, j)
-                        count += bsz
-            if cfg.TEST.B_EXAMPLE:
-                save_super_images(fake_img_list, data['key'], save_dir,
-                                  split_dir, 256)
-            print('[%d/%d]' % (step, self.num_batches))
+                fake_img_list = []
+                for i in range(min(embedding_dim, embeddings.shape[1])):
+                    for j in range(sample_num):
+                        if sample_num > 1:
+                            rng, k_noise = jax.random.split(rng)
+                            noise = jax.random.normal(
+                                k_noise, (bsz, cfg.GAN.Z_DIM))
+                        rng, k_s = jax.random.split(rng)
+                        emb_i = jnp.asarray(embeddings[:, i, :])
+                        if self.is_coco:
+                            cond = jnp.concatenate(
+                                [emb_i, jnp.asarray(cls, jnp.float32)],
+                                axis=1)
+                            fakes = sampler(g_vars, k_s, noise, cond)
+                        elif cls_share:
+                            # netG(noise, emb, cls_prior=prior)
+                            # (cub_trainer_splitz_cap_ca.py:876-877)
+                            fakes = sampler(g_vars, k_s, noise, emb_i,
+                                            None, shared_prior)
+                        else:
+                            fakes = sampler(g_vars, k_s, noise, emb_i,
+                                            jnp.asarray(cls_onehot))
+                        if cfg.TEST.B_EXAMPLE:
+                            fake_img_list.append(np.asarray(fakes[-1]))
+                        else:
+                            save_single_images(
+                                np.asarray(fakes[-1]), data['key'], save_dir,
+                                split_dir, i, cls, cfg.imsize, nid_base + j)
+                            count += bsz
+                    if target is not None and count >= target:
+                        break
+                if cfg.TEST.B_EXAMPLE:
+                    save_super_images(fake_img_list, data['key'], save_dir,
+                                      split_dir, 256)
+                print('[%d/%d]' % (step, self.num_batches))
+                if target is not None and count >= target:
+                    break
+            done = single_pass or target is None or count >= target
+            nid_base += sample_num
         print('Save images ok; Number of images: %d' % count)
         return save_dir
+
+    def _eval_save_dir(self, mode: str) -> str:
+        """Reference eval dir naming: eval/Testset_<mode>_fixednoise
+        [_clsprior-{share,random}]_<epoch>_<run>, where <epoch> comes from
+        the NET_G filename and <run> from its grandparent directory
+        (cub_trainer_splitz_cap_ca.py:829-845)."""
+        import re
+        cfg = self.cfg
+        net_g = (cfg.TRAIN.NET_G or '').rstrip('/')
+        base = os.path.basename(net_g)
+        stem = base[:-4] if base.endswith('.pth') else base
+        m = re.search(r'(\d+)$', stem)
+        epoch_tok = m.group(1) if m else (stem.split('_')[-1] or '0')
+        parts = net_g.split('/')
+        run_tok = parts[-3] if len(parts) >= 3 else (
+            os.path.basename(os.path.abspath(self.output_dir)) or 'run')
+        if cfg.TEST.CLS_PRIOR:
+            prior_tok = ('clsprior-share' if cfg.TEST.CLS_SHARE
+                         else 'clsprior-random')
+            name = 'Testset_%s_fixednoise_%s_%s_%s' % (
+                mode, prior_tok, epoch_tok, run_tok)
+        else:
+            name = 'Testset_%s_fixednoise_%s_%s' % (mode, epoch_tok, run_tok)
+        return os.path.join('eval', name)
