@@ -61,7 +61,17 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(const char* path, ImageU8* out) {
+// Decode, optionally at a reduced DCT scale (libjpeg scale_num/8).
+//
+// roi_full_side: the full-resolution pixel size of the region the pipeline
+// will crop out (the CUB bbox square's side, or 0 = the whole image);
+// target_px: the oversize the pipeline scales that region to. The decoder
+// picks the smallest scale_num such that the region still maps to at least
+// 1.25 * target_px decoded pixels — everything past that is IDCT work the
+// downstream bilinear resize would immediately throw away. scale_out
+// receives the applied scale factor (output_width / image_width).
+bool decode_jpeg(const char* path, ImageU8* out, int roi_full_side,
+                 int target_px, double* scale_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -77,9 +87,23 @@ bool decode_jpeg(const char* path, ImageU8* out) {
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  if (target_px > 0) {
+    int roi = roi_full_side > 0
+                  ? roi_full_side
+                  : static_cast<int>(std::min(cinfo.image_width,
+                                              cinfo.image_height));
+    roi = std::max(roi, 1);
+    int s = static_cast<int>(
+        std::ceil(8.0 * target_px * 1.25 / roi));
+    cinfo.scale_num = std::min(8, std::max(1, s));
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
+  if (scale_out) {
+    *scale_out = static_cast<double>(cinfo.output_width) / cinfo.image_width;
+  }
   out->data.resize(static_cast<size_t>(out->w) * out->h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* rowp = out->row(cinfo.output_scanline);
@@ -93,30 +117,38 @@ bool decode_jpeg(const char* path, ImageU8* out) {
 
 // ----------------------------------------------------------------------
 // Bilinear resize (uint8 -> uint8), PIL-style half-pixel centers.
+// Horizontal taps/weights are precomputed once per destination row sweep;
+// all arithmetic is single-precision.
 void resize_bilinear(const ImageU8& src, int dw, int dh, ImageU8* dst) {
   dst->w = dw;
   dst->h = dh;
   dst->data.resize(static_cast<size_t>(dw) * dh * 3);
-  const double sx = static_cast<double>(src.w) / dw;
-  const double sy = static_cast<double>(src.h) / dh;
+  const float sx = static_cast<float>(src.w) / dw;
+  const float sy = static_cast<float>(src.h) / dh;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> wxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    wxs[x] = fx - x0;
+    x1s[x] = std::min(x0 + 1, src.w - 1) * 3;
+    x0s[x] = std::max(x0, 0) * 3;
+  }
   for (int y = 0; y < dh; ++y) {
-    double fy = (y + 0.5) * sy - 0.5;
+    float fy = (y + 0.5f) * sy - 0.5f;
     int y0 = static_cast<int>(std::floor(fy));
-    double wy = fy - y0;
+    float wy = fy - y0;
     int y1 = std::min(y0 + 1, src.h - 1);
     y0 = std::max(y0, 0);
     uint8_t* drow = dst->row(y);
     const uint8_t* r0 = src.row(y0);
     const uint8_t* r1 = src.row(y1);
     for (int x = 0; x < dw; ++x) {
-      double fx = (x + 0.5) * sx - 0.5;
-      int x0 = static_cast<int>(std::floor(fx));
-      double wx = fx - x0;
-      int x1 = std::min(x0 + 1, src.w - 1);
-      x0 = std::max(x0, 0);
+      const int a = x0s[x], b = x1s[x];
+      const float wx = wxs[x];
       for (int c = 0; c < 3; ++c) {
-        double top = r0[x0 * 3 + c] * (1 - wx) + r0[x1 * 3 + c] * wx;
-        double bot = r1[x0 * 3 + c] * (1 - wx) + r1[x1 * 3 + c] * wx;
+        float top = r0[a + c] * (1 - wx) + r0[b + c] * wx;
+        float bot = r1[a + c] * (1 - wx) + r1[b + c] * wx;
         drow[x * 3 + c] =
             static_cast<uint8_t>(std::lround(top * (1 - wy) + bot * wy));
       }
@@ -194,10 +226,22 @@ int process_one(const Loader& L, const char* path, const float* bbox,
                 bool train, uint64_t item_seed, int item_index,
                 float** out_bufs) {
   ImageU8 img;
-  if (!decode_jpeg(path, &img)) return 1;
+  // The bbox square's full-res side is 2R (reference: datasets.py:47-50) —
+  // the decoder only needs enough DCT scale for that region to cover the
+  // oversize target.
+  int roi = 0;
+  if (bbox) {
+    roi = 2 * static_cast<int>(std::max(bbox[2], bbox[3]) * 0.75f);
+  }
+  double f = 1.0;
+  if (!decode_jpeg(path, &img, roi, L.oversize, &f)) return 1;
   ImageU8 tmp;
   if (bbox) {
-    bbox_crop(img, bbox, &tmp);
+    float scaled[4] = {static_cast<float>(bbox[0] * f),
+                       static_cast<float>(bbox[1] * f),
+                       static_cast<float>(bbox[2] * f),
+                       static_cast<float>(bbox[3] * f)};
+    bbox_crop(img, scaled, &tmp);
     img.data.swap(tmp.data);
     std::swap(img.w, tmp.w);
     std::swap(img.h, tmp.h);
