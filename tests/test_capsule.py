@@ -32,7 +32,10 @@ def test_squash_small_vector_scales_quadratically():
 def test_votes_shared_weight_shapes():
     x = jax.random.normal(RNG, (2, 6, 8))
     w = jax.random.normal(RNG, (10, 4, 8))
-    u = compute_votes(x, w)
+    # force f32 matmuls: under T2I_TEST_TPU=1 the MXU default is bf16,
+    # which fails a 1e-5 comparison against the numpy reference
+    with jax.default_matmul_precision('highest'):
+        u = compute_votes(x, w)
     assert u.shape == (2, 6, 10, 4)
     # matches per-capsule matmul: u[b,i,j] = W[j] @ x[b,i]
     np.testing.assert_allclose(

@@ -206,7 +206,7 @@ def _bwd_kernel(x_ref, w_ref, dv_ref, dx_ref, dw_ref, u_sc, dw_sc,
         dw_ref[...] = dw_ref[...] + dw_sc[...]
 
 
-def _backward(x, weight, dv, num_iterations):
+def _backward(x, weight, dv, num_iterations, vmem_limit_bytes=None):
     """x [B,in,in_len], weight [out,out_len,in_len], dv [B,out,out_len]
     -> (dx, dweight)."""
     bsz, in_caps, in_length = x.shape
@@ -214,6 +214,10 @@ def _backward(x, weight, dv, num_iterations):
     w_t = jnp.transpose(weight, (1, 2, 0)).astype(jnp.float32)
     dv_t = jnp.transpose(dv, (0, 2, 1)).astype(jnp.float32)
 
+    extra = {}
+    if vmem_limit_bytes is not None:
+        extra['compiler_params'] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit_bytes))
     dx, dw_t = pl.pallas_call(
         functools.partial(_bwd_kernel, num_iterations=num_iterations,
                           out_length=out_length),
@@ -248,6 +252,7 @@ def _backward(x, weight, dv, num_iterations):
             + bsz * out_caps * out_length * 4,
             transcendentals=num_iterations * bsz * in_caps * out_caps,
         ),
+        **extra,
     )(x.astype(jnp.float32), w_t, dv_t)
     dweight = jnp.transpose(dw_t, (2, 0, 1))
     return dx, dweight
@@ -262,26 +267,41 @@ def _fwd(x, weight, num_iterations):
     return _forward(x, weight, num_iterations), (x, weight)
 
 
-def _fused_bwd_fits_vmem(x_shape, w_shape) -> bool:
-    """The fused backward keeps weight + weight-grad accumulator + votes in
-    VMEM; bail to the XLA backward when that exceeds ~14MB of the 16MB
-    budget (e.g. the D classifier head, whose in_length=512 weight is
-    8.4MB — its vote tensor is tiny so the XLA backward is cheap there)."""
+# Mosaic's default VMEM budget is 16MB, but the physical VMEM on this v5e
+# is far larger (a 64MB vmem_limit_bytes compiles and runs fine —
+# measured, tools/bench_capsule.py). Kernels whose resident set exceeds
+# the default get an explicit raised limit; _VMEM_MAX bounds the raise.
+_VMEM_DEFAULT = 14 * 1024 * 1024
+_VMEM_MAX = 96 * 1024 * 1024
+
+
+def _padded_sizes(x_shape, w_shape):
+    """(w_bytes, u_bytes) with TPU (8,128) tile padding applied."""
     _, in_caps, in_length = x_shape
     out_caps, out_length, _ = w_shape
-    pad = -out_caps % 128
-    oc = out_caps + pad
+    oc = out_caps + (-out_caps % 128)
+    ic = in_caps + (-in_caps % 8)
     w_bytes = out_length * in_length * oc * 4
-    u_bytes = out_length * in_caps * oc * 4
-    return 2 * w_bytes + u_bytes < 14 * 1024 * 1024
+    u_bytes = out_length * ic * oc * 4
+    return w_bytes, u_bytes
 
 
 def _bwd(num_iterations, residuals, g):
     x, weight = residuals
-    if not _fused_bwd_fits_vmem(x.shape, weight.shape):
+    w_bytes, u_bytes = _padded_sizes(x.shape, weight.shape)
+    # The fused backward's win is keeping the vote tensor out of HBM; its
+    # cost is streaming the whole weight + grad accumulator through VMEM on
+    # every sequential grid step. Measured on v5e (tools/bench_capsule.py):
+    # flagship G head (u 6.3MB >> w 1MB) fused is 3.5x XLA, but the 201-way
+    # D classifier head (u 0.26MB << w 8.4MB) fused is 2.7x SLOWER than
+    # XLA. Fuse only where votes dominate the weight.
+    need = 4 * w_bytes + 2 * u_bytes + 2 * 1024 * 1024
+    if u_bytes < w_bytes or need > _VMEM_MAX:
         return _bwd_xla(num_iterations, residuals, g)
+    limit = None if need <= _VMEM_DEFAULT else need
     dx, dw = _backward(x.astype(jnp.float32), weight.astype(jnp.float32),
-                       g.astype(jnp.float32), num_iterations)
+                       g.astype(jnp.float32), num_iterations,
+                       vmem_limit_bytes=limit)
     return dx.astype(x.dtype), dw.astype(weight.dtype)
 
 
