@@ -178,6 +178,22 @@ def test_gspmd_mode_matches_single_device():
                                atol=1e-4)
 
 
+def test_three_branch_step():
+    """BRANCH_NUM=3 (birds_3stages.yml, 64/128/256px): the fused step
+    trains all three stage discriminators and returns 256px fakes — the
+    resolution axis the reference scales over (model.py:466-480), which
+    its own flagship trainer marks 'br3 todo'."""
+    cfg, state, batch, step = _setup('birds_3stages.yml', B=8)
+    assert cfg.TREE.BRANCH_NUM == 3
+    assert cfg.branch_sizes() == [64, 128, 256]
+    assert len(batch['real']) == 3
+    new_state, metrics, fakes = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert np.asarray(fakes).shape == (8, 256, 256, 3)
+    assert int(new_state.step) == 1
+
+
 def test_coco_strategy_step():
     cfg, state, batch, step = _setup('coco_2stgs.yml', coco=True)
     new_state, metrics, _ = step(state, batch, jax.random.PRNGKey(1))
