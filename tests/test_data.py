@@ -113,3 +113,27 @@ def test_loader_reshuffles_between_epochs():
     e1 = [tuple(b['cls'].tolist()) for b in dl]
     e2 = [tuple(b['cls'].tolist()) for b in dl]
     assert e1 != e2
+
+
+def test_imagefolder_dataset(tmp_path):
+    """Class-per-folder dataset with wnid filtering (reference
+    datasets.py:71-133 + main.py's custom_classes lists): classes sorted,
+    non-selected folders skipped, items yield a pyramid + class index."""
+    from text2img_ekl_tpu.data.datasets import ImageFolderDataset
+    rng = np.random.default_rng(3)
+    for wnid, n in [('n02084071', 2), ('n02121620', 2), ('n99999999', 1)]:
+        d = tmp_path / 'train' / wnid
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(rng.integers(0, 255, (80, 100, 3),
+                                         dtype=np.uint8)).save(
+                d / f'{wnid}_{i}.jpg')
+    ds = ImageFolderDataset(str(tmp_path), 'train',
+                            custom_classes=['n02084071', 'n02121620'],
+                            base_size=16, branch_num=2)
+    assert len(ds) == 4  # the unselected wnid folder is excluded
+    item = ds[0]
+    assert [im.shape for im in item['imgs']] == [(16, 16, 3), (32, 32, 3)]
+    assert item['cls'] in (0, 1)
+    for im in item['imgs']:
+        assert im.min() >= -1.0 and im.max() <= 1.0
