@@ -118,3 +118,57 @@ def test_batchnorm_train_normalizes_batch():
     # running stats moved toward batch stats
     stats = jax.tree.leaves(state['batch_stats'])
     assert any(np.abs(np.asarray(s)).sum() > 0 for s in stats)
+
+
+def test_joint_conv_split_matches_concat():
+    """The tile-free joint conv (_JointConv3x3) is an EXACT rewrite of
+    conv3x3(concat(tile(c), h)): same params (byte-identical tree, same
+    init stream), same output, including the zero-pad border classes."""
+    from text2img_ekl_tpu.nn import blocks
+    from text2img_ekl_tpu.nn.blocks import Block3x3Relu
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    h = jax.random.normal(k1, (2, 8, 8, 6))
+    c = jax.random.normal(k2, (2, 10))
+    blk = Block3x3Relu(4, dtype=jnp.float32)
+
+    split_vars = blk.init({'params': k3}, h, train=True, c_vec=c)
+    tiled = jnp.broadcast_to(c[:, None, None, :], (2, 8, 8, 10))
+    cat = jnp.concatenate([tiled, h], axis=-1)
+    concat_vars = blk.init({'params': k3}, cat, train=True)
+
+    # identical parameter trees (same path, shape, and init values)
+    jax.tree.map(np.testing.assert_array_equal,
+                 split_vars['params'], concat_vars['params'])
+
+    y_split, _ = blk.apply(split_vars, h, train=True, c_vec=c,
+                           mutable=['batch_stats'])
+    y_cat, _ = blk.apply(concat_vars, cat, train=True,
+                         mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_next_stage_g_split_flag_equivalence():
+    """NextStageG output is independent of the SPLIT_JOINT_CONV flag."""
+    from text2img_ekl_tpu.nn import blocks
+    from text2img_ekl_tpu.models.generator import NextStageG
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(9), 3)
+    h = jax.random.normal(k1, (2, 8, 8, 8))
+    c = jax.random.normal(k2, (2, 12))
+    net = NextStageG(ngf=8, ef_dim=12, num_residual=1, dtype=jnp.float32)
+
+    old = blocks.SPLIT_JOINT_CONV
+    try:
+        blocks.SPLIT_JOINT_CONV = True
+        v1 = net.init({'params': k3}, h, c, train=True)
+        y1, _ = net.apply(v1, h, c, train=True, mutable=['batch_stats'])
+        blocks.SPLIT_JOINT_CONV = False
+        v2 = net.init({'params': k3}, h, c, train=True)
+        y2, _ = net.apply(v2, h, c, train=True, mutable=['batch_stats'])
+    finally:
+        blocks.SPLIT_JOINT_CONV = old
+    jax.tree.map(np.testing.assert_array_equal, v1['params'], v2['params'])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)

@@ -135,6 +135,14 @@ class Config:
     # fallback for backends whose AOT path executes hand-SPMD programs
     # slowly (PERF.md pitfall 1).
     TPU_SPMD_MODE: str = 'shard_map'
+    # Group the D phase's real/wrong/fake tower passes into one vmapped
+    # forward with per-group BatchNorm statistics (numerically equivalent
+    # to the three sequential passes; running averages combined exactly).
+    # Default off: measured 5% SLOWER than the sequential passes on the
+    # v5e (2080 vs 2187 img/s at bs128) with ~2x the compile time — the
+    # vmapped program batches the convs but serializes worse through the
+    # capsule kernels and conv emitters (PERF.md).
+    TPU_GROUPED_D: bool = False
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..nn import blocks
 from ..nn.blocks import (
     BatchNorm, Block3x3Relu, Conv3x3, Dense, ResBlock, UpBlock, glu)
 from ..nn.conditioning import CANet, VCNet
@@ -210,12 +211,18 @@ class NextStageG(nn.Module):
             self.upsample2 = UpBlock(self.ngf // 4, dtype=self.dtype)
 
     def __call__(self, h_code, c_code, train: bool = True):
-        b, s, _, _ = h_code.shape
-        c = jnp.broadcast_to(
-            c_code[:, None, None, :].astype(h_code.dtype),
-            (b, s, s, c_code.shape[-1]))
-        x = jnp.concatenate([c, h_code], axis=-1)
-        x = self.jointConv(x, train)
+        if blocks.SPLIT_JOINT_CONV:
+            # Tile-free exact rewrite of conv(concat(tiled c, h)) — the
+            # concat form is the hottest op pair in the flagship step
+            # (PERF.md); parameters are identical either way.
+            x = self.jointConv(h_code, train, c_vec=c_code)
+        else:
+            b, s, _, _ = h_code.shape
+            c = jnp.broadcast_to(
+                c_code[:, None, None, :].astype(h_code.dtype),
+                (b, s, s, c_code.shape[-1]))
+            x = jnp.concatenate([c, h_code], axis=-1)
+            x = self.jointConv(x, train)
         for block in self.residual:
             x = block(x, train)
         x = self.upsample(x, train)

@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -59,6 +60,11 @@ class GLU(nn.Module):
 # the BN-boundary HBM traffic (TPU reduces accumulate in f32 either way) —
 # set via config TPU_BN_DTYPE before model construction.
 BN_DTYPE = jnp.float32
+
+# Joint-conv formulation for NextStageG: True = tile-free exact rewrite
+# (default, see _JointConv3x3); False = materialized concat (A/B escape
+# hatch — parameters are identical either way).
+SPLIT_JOINT_CONV = True
 
 
 class BatchNorm(nn.Module):
@@ -106,18 +112,72 @@ class Dense(nn.Module):
         )(x)
 
 
-class Conv3x3(nn.Module):
-    """3x3 stride-1 pad-1 bias-free conv (reference: model.py:79-82)."""
+class _JointConv3x3(nn.Module):
+    """3x3 conv over ``concat(tiled(c_vec), h)`` without materializing the
+    tile (reference semantics: model.py:408-416).
+
+    The condition half of the kernel sees a spatially-constant input, so its
+    contribution collapses to nine partial-sum kernels — one per
+    (row-class, col-class) of the zero-padded window: interior outputs sum
+    all 9 taps, edges 6, corners 4. The full contribution is then two tiny
+    one-hot matmuls away. Exact rewrite of the concat conv (linearity), and
+    the parameter ('kernel', shape (3,3,Cc+Ch,F), orthogonal init under the
+    same scope path) is byte-identical to the nn.Conv it replaces, so
+    checkpoints and init RNG streams are unchanged.
+
+    Measured (PERF.md): the concat formulation pays a 134MB broadcast
+    materialization plus a lane-misaligned 192-channel conv fwd+bwd — the
+    single hottest op pair in the flagship step.
+    """
 
     features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, h, c_vec):
+        cc = c_vec.shape[-1]
+        ch = h.shape[-1]
+        kernel = self.param('kernel', orthogonal_init,
+                            (3, 3, cc + ch, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        wc, wh = k[:, :, :cc, :], k[:, :, cc:, :]
+        y = jax.lax.conv_general_dilated(
+            h.astype(self.dtype), wh, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        # Partial tap sums per window class: K(0)={1,2} (top/left edge),
+        # K(1)={0,1,2} (interior), K(2)={0,1} (bottom/right edge).
+        rows = jnp.stack([wc[1:].sum(0), wc.sum(0), wc[:2].sum(0)])
+        T = jnp.stack([rows[:, 1:].sum(1), rows.sum(1), rows[:, :2].sum(1)],
+                      axis=1)  # (3, 3, Cc, F)
+        tile = jnp.einsum('bc,ijcf->bijf', c_vec.astype(self.dtype), T)
+        s = h.shape[1]
+        idx = np.concatenate([[0], np.ones(s - 2, np.int64), [2]])
+        R = jnp.asarray(np.eye(3, dtype=np.float32)[idx], self.dtype)
+        full_c = jnp.einsum('si,bijf,tj->bstf', R, tile, R)
+        return y + full_c
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 pad-1 bias-free conv (reference: model.py:79-82).
+
+    ``c_vec`` switches to the joint-conv form: the conv runs over
+    ``concat(tile(c_vec, HxW), x)`` channel-wise (condition first, as the
+    reference concatenates) via the tile-free exact rewrite above.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, c_vec=None):
+        if c_vec is not None:
+            return _JointConv3x3(self.features, dtype=self.dtype,
+                                 name='Conv_0')(x, c_vec)
         return nn.Conv(
             self.features, (3, 3), strides=1, padding=1, use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=orthogonal_init,
+            name='Conv_0',
         )(x)
 
 
@@ -177,14 +237,18 @@ class UpBlock(nn.Module):
 
 
 class Block3x3Relu(nn.Module):
-    """conv3x3(2*out) -> BN -> GLU, keeps spatial size (model.py:98-104)."""
+    """conv3x3(2*out) -> BN -> GLU, keeps spatial size (model.py:98-104).
+
+    With ``c_vec`` the conv is the joint form over
+    ``concat(tile(c_vec), x)`` (see Conv3x3).
+    """
 
     features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = True, c_vec=None):
+        x = Conv3x3(self.features * 2, dtype=self.dtype)(x, c_vec=c_vec)
         x = BatchNorm(use_running_average=not train)(x)
         return glu(x).astype(self.dtype)
 

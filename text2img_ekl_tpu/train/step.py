@@ -98,6 +98,7 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     g_tx = make_optimizer(cfg.TRAIN.GENERATOR_LR)
     d_tx = make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR)
     single_cond = isinstance(G, CondGNet)
+    grouped_d = bool(getattr(cfg, 'TPU_GROUPED_D', True))
 
     def pmean(x):
         if coll_mesh is None:
@@ -151,16 +152,51 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
             fake_sg = jax.lax.stop_gradient(imgs[i])
 
             def d_loss_fn(pd, i=i, D=D, fake_sg=fake_sg):
-                stats = state.d_batch_stats[i]
-                rl, s = D.apply({'params': pd, 'batch_stats': stats},
-                                batch['real'][i], mu_sg, train=True,
-                                mutable=['batch_stats'])
-                wl, s = D.apply({'params': pd, 'batch_stats': s['batch_stats']},
-                                batch['wrong'][i], mu_sg, train=True,
-                                mutable=['batch_stats'])
-                fl, s = D.apply({'params': pd, 'batch_stats': s['batch_stats']},
-                                fake_sg, mu_sg, train=True,
-                                mutable=['batch_stats'])
+                if grouped_d:
+                    # One grouped forward over stacked [real, wrong, fake]
+                    # instead of three sequential tower passes: vmap
+                    # computes per-group BatchNorm batch statistics, so
+                    # each group is normalized exactly as its own pass
+                    # would be (the reference's three separate forwards,
+                    # cub_trainer_splitz_cap_ca.py:418-420), while the
+                    # convs batch 3x and the stat reductions merge
+                    # 3 -> 1 kernels.
+                    stats0 = state.d_batch_stats[i]
+
+                    def one_pass(img):
+                        out, s = D.apply(
+                            {'params': pd, 'batch_stats': stats0},
+                            img, mu_sg, train=True,
+                            mutable=['batch_stats'])
+                        return out, s['batch_stats']
+
+                    outs, stats3 = jax.vmap(one_pass)(jnp.stack(
+                        [batch['real'][i], batch['wrong'][i], fake_sg]))
+                    rl = tuple(o[0] for o in outs)
+                    wl = tuple(o[1] for o in outs)
+                    fl = tuple(o[2] for o in outs)
+                    # Sequential running-average threading (real, then
+                    # wrong, then fake; new = a*old + (1-a)*batch with
+                    # a=0.9) combined exactly from the three independent
+                    # one-update results:
+                    #   s3 = a^2*s_r' + a*s_w' + s_f' - (a^2 + a)*s0
+                    a = 0.9
+                    s = {'batch_stats': jax.tree.map(
+                        lambda s3, s0: a * a * s3[0] + a * s3[1] + s3[2]
+                        - (a * a + a) * s0, stats3, stats0)}
+                else:
+                    stats = state.d_batch_stats[i]
+                    rl, s = D.apply({'params': pd, 'batch_stats': stats},
+                                    batch['real'][i], mu_sg, train=True,
+                                    mutable=['batch_stats'])
+                    wl, s = D.apply(
+                        {'params': pd, 'batch_stats': s['batch_stats']},
+                        batch['wrong'][i], mu_sg, train=True,
+                        mutable=['batch_stats'])
+                    fl, s = D.apply(
+                        {'params': pd, 'batch_stats': s['batch_stats']},
+                        fake_sg, mu_sg, train=True,
+                        mutable=['batch_stats'])
                 errD_real = bce(rl[0], ones)
                 errD_wrong = bce(wl[0], zeros)
                 errD_fake = bce(fl[0], zeros)
