@@ -36,10 +36,12 @@ def main():
     from text2img_ekl_tpu.train import create_train_state, make_train_step
     from text2img_ekl_tpu.train.step import cond_code_width
 
+    cfg_name = os.environ.get('BENCH_CFG',
+                              'birds_2stg_splitz_cap_ca.realcls.yml')
     cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'cfg', 'birds_2stg_splitz_cap_ca.realcls.yml')
+                            'cfg', cfg_name)
     if not os.path.exists(cfg_path):
-        cfg_path = '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml'
+        cfg_path = os.path.join('/root/reference/cfg', cfg_name)
     cfg = cfg_from_file(cfg_path)
     # 128/chip saturates the v5e on this workload (see PERF notes); the
     # reference metric is per-chip throughput, batch size is free.
@@ -86,7 +88,9 @@ def main():
     imgs_per_sec = B * steps / dt
     per_chip = imgs_per_sec / n_chips
     result = {
-        'metric': 'cub_flagship_train_images_per_sec_per_chip',
+        'metric': 'cub_flagship_train_images_per_sec_per_chip'
+        if 'BENCH_CFG' not in os.environ
+        else f'train_images_per_sec_per_chip[{cfg_name}]',
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
