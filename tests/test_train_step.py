@@ -178,6 +178,36 @@ def test_gspmd_mode_matches_single_device():
                                atol=1e-4)
 
 
+def test_grouped_d_matches_sequential():
+    """TPU_GROUPED_D (vmapped real/wrong/fake D pass, default off — 5%
+    slower on the v5e, PERF.md) computes the SAME step as the sequential
+    three-pass form: per-group BN stats equal per-pass stats, and the
+    running averages are combined exactly."""
+    name = 'birds_2stg_splitz_cap_ca.realcls.yml'
+    cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    batch = _batch(cfg, 8)
+
+    cfg.TPU_GROUPED_D = False
+    state_a = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    sa, ma, fa = make_train_step(cfg, G, Ds, None)(
+        state_a, batch, jax.random.PRNGKey(3))
+    cfg.TPU_GROUPED_D = True
+    state_b = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    sb, mb, fb = make_train_step(cfg, G, Ds, None)(
+        state_b, batch, jax.random.PRNGKey(3))
+
+    for k in ma:
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), atol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        sa.d_batch_stats, sb.d_batch_stats)
+
+
 def test_three_branch_step():
     """BRANCH_NUM=3 (birds_3stages.yml, 64/128/256px): the fused step
     trains all three stage discriminators and returns 256px fakes — the
