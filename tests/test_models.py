@@ -167,3 +167,33 @@ def test_dnet_all_sizes(size):
     vs = D.init({'params': RNG}, img, cond, train=True)
     outs, _ = D.apply(vs, img, cond, train=True, mutable=['batch_stats'])
     assert outs[0].shape == (1,) and outs[1].shape == (1,)
+
+
+def test_cond_gnet_catz_double_vc():
+    """The VC+VC split-z assembly (reference COND_G_NET_CATZ,
+    model.py:567-665): two VCNets, fused code, full stage run with both
+    KL tuples returned."""
+    cfg = _small(cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stgs_catcls_bs32.yml')))
+    G = CondGNetCatZ(sen_dim=cfg.TEXT.DIMENSION, cls_dim=cfg.GAN.ENTITY_DIM,
+                     gf_dim=cfg.GAN.GF_DIM, manifd_dim=cfg.GAN.MANIFD_DIM,
+                     branch_num=2, dtype=F32)
+    B = 2
+    noise = jnp.zeros((B, cfg.GAN.Z_DIM), F32)
+    sen = jnp.zeros((B, cfg.TEXT.DIMENSION), F32)
+    cls = jnp.zeros((B, cfg.GAN.ENTITY_DIM), F32)
+    import functools
+    rngs = {'params': RNG, 'reparam': RNG}
+    vs = jax.jit(functools.partial(G.init, train=True,
+                                   method='init_all'))(rngs, noise, sen, cls)
+
+    def fwd(vs):
+        out, _ = G.apply(vs, noise, sen, cls, train=True,
+                         rngs={'reparam': RNG}, mutable=['batch_stats'])
+        return out, G.apply(vs, out[0], method='image')
+    out, imgs = jax.jit(fwd)(vs)
+    hcodes, mu1, mu2, lv1, lv2, std1, std2 = out
+    assert len(hcodes) == 2
+    assert mu1.shape == (B, cfg.GAN.MANIFD_DIM)
+    assert mu2.shape == (B, cfg.GAN.MANIFD_DIM)
+    assert [i.shape[1] for i in imgs] == [64, 128]
