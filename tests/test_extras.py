@@ -66,3 +66,72 @@ def test_gradient_penalty_positive_otherwise():
 
     gp = compute_gradient_penalty(jax.random.PRNGKey(2), d_apply, real, fake)
     assert float(gp) > 0
+
+
+def test_imgs2ndarray_cache_roundtrip(tmp_path):
+    """Directory -> uint8 arrays with a pickle cache (myutils.py:12-25):
+    second call must hit the cache, size= resizes."""
+    from PIL import Image
+    from text2img_ekl_tpu.nn.extras import imgs2ndarray
+    d = tmp_path / 'imgs'
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (20, 24, 3),
+                                     dtype=np.uint8)).save(d / f'{i}.png')
+    out = imgs2ndarray(str(d), size=16)
+    assert len(out) == 3 and out[0].shape == (16, 16, 3)
+    assert (tmp_path / 'imgs.ndarray.pkl').is_file()
+    (d / '0.png').unlink()  # cache must mask the deletion
+    again = imgs2ndarray(str(d), size=16)
+    assert len(again) == 3
+    np.testing.assert_array_equal(out[0], again[0])
+
+
+def test_spectral_norm_dense_bounds_singular_value():
+    """SpectralNormDense: after a few power-iteration updates the
+    effective weight has top singular value ~1, so outputs are
+    norm-bounded (myutils.py:28-65 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from text2img_ekl_tpu.nn.extras import SpectralNormDense
+    layer = SpectralNormDense(8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6))
+    vs = layer.init({'params': jax.random.PRNGKey(1)}, x)
+    # scale the kernel so the raw singular value is far from 1
+    vs = {'params': {'kernel': vs['params']['kernel'] * 7.0},
+          'spectral': vs['spectral']}
+    sp = vs['spectral']
+    for _ in range(20):
+        _, mut = layer.apply({'params': vs['params'], 'spectral': sp}, x,
+                             mutable=['spectral'])
+        sp = mut['spectral']
+    # forward with update_stats=False must not mutate u
+    layer.apply({'params': vs['params'], 'spectral': sp}, x,
+                update_stats=False)
+    w = np.asarray(vs['params']['kernel'])
+    u = np.asarray(sp['u'])
+    # direct check: top singular value of the normalized matrix ~ 1
+    w_mat = w.T
+    for _ in range(50):
+        v = w_mat.T @ u; v /= np.linalg.norm(v) + 1e-12
+        u = w_mat @ v; u /= np.linalg.norm(u) + 1e-12
+    sigma = u @ w_mat @ v
+    np.testing.assert_allclose(
+        np.linalg.svd(w_mat / sigma, compute_uv=False)[0], 1.0, rtol=1e-2)
+
+
+def test_gradient_penalty_withcond_matches_uncond_when_cond_ignored():
+    import jax
+    import jax.numpy as jnp
+    from text2img_ekl_tpu.nn.extras import (
+        compute_gradient_penalty, compute_gradient_penalty_withcond)
+    key = jax.random.PRNGKey(0)
+    real = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    fake = jax.random.normal(jax.random.PRNGKey(2), (4, 8))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (4, 5))
+    d_unc = lambda x: jnp.sum(x ** 2, axis=1)
+    d_cond = lambda x, c: jnp.sum(x ** 2, axis=1) + 0.0 * jnp.sum(c)
+    gp1 = compute_gradient_penalty(key, d_unc, real, fake)
+    gp2 = compute_gradient_penalty_withcond(key, d_cond, real, fake, cond)
+    np.testing.assert_allclose(float(gp1), float(gp2), rtol=1e-6)

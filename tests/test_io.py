@@ -85,3 +85,21 @@ def test_metrics_logger_jsonl(tmp_path):
              open(tmp_path / 'metrics.jsonl').read().splitlines()]
     assert lines[0]['step'] == 10 and lines[0]['a'] == 1.5
     assert lines[1]['step'] == 20
+
+
+def test_save_super_images(tmp_path):
+    """10-caption super grids under super/<split>/ with the reference's
+    naming (cub_trainer_splitz_cap_ca.py:734-756)."""
+    from text2img_ekl_tpu.io_utils.images import save_super_images
+    rng = np.random.default_rng(0)
+    # 10 captions x batch of 2, 16px images in [-1, 1]
+    images_list = [rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+                   for _ in range(10)]
+    save_super_images(images_list, ['birds/a', 'birds/b'], str(tmp_path),
+                      'test', 16)
+    for name in ('a', 'b'):
+        p = tmp_path / 'super' / 'test' / 'birds' / f'{name}_16.png'
+        assert p.is_file()
+        from PIL import Image
+        im = Image.open(p)
+        assert im.size[0] >= 16 * 10  # 10 per row
