@@ -147,3 +147,24 @@ def test_converted_tower_matches_keras(roundtrip):
     logits, _ = jax.jit(model.apply)(converted, jnp.asarray(x))
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(probs, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_load_frozen_graph_weights(tmp_path):
+    """Const extraction from a frozen GraphDef pb (the 2015 ImageNet graph
+    format fid.py:190-206 / inception_score_general.py:56-71 load)."""
+    tf = pytest.importorskip('tensorflow')
+    from text2img_ekl_tpu.eval.convert_tf import load_frozen_graph_weights
+
+    g = tf.compat.v1.GraphDef()
+    w = np.arange(12, dtype=np.float32).reshape(3, 4)
+    n = g.node.add()
+    n.name, n.op = 'conv/weights', 'Const'
+    n.attr['value'].tensor.CopyFrom(tf.make_tensor_proto(w))
+    n2 = g.node.add()
+    n2.name, n2.op = 'input', 'Placeholder'  # non-Const: skipped
+    pb = tmp_path / 'graph.pb'
+    pb.write_bytes(g.SerializeToString())
+
+    out = load_frozen_graph_weights(str(pb))
+    assert set(out) == {'conv/weights'}
+    np.testing.assert_array_equal(out['conv/weights'], w)

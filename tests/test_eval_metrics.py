@@ -87,3 +87,48 @@ def test_activation_statistics_shapes():
     mu, sigma = calculate_activation_statistics(act)
     assert mu.shape == (2048,)
     assert sigma.shape == (2048, 2048)
+
+
+def test_fid_scorer_end_to_end():
+    """FIDScorer with random tower weights: activation shapes, FID of a
+    set against itself ~ 0, and .npz-stats comparison (fid.py:208-219)."""
+    import jax
+    from text2img_ekl_tpu.eval.fid import FIDScorer
+    from text2img_ekl_tpu.models.inception_v3 import make_inception
+
+    model = make_inception(1000, 'slim')
+    variables = jax.jit(model.init)({'params': jax.random.PRNGKey(0)},
+                                    np.zeros((1, 299, 299, 3), np.float32))
+    scorer = FIDScorer(variables, batch_size=2)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8)
+    act = scorer.activations_uint8(imgs)
+    assert act.shape == (3, 2048)
+    assert np.all(np.isfinite(act))
+    # gan-range path on the equivalent [-1, 1] images gives the same
+    # activations (preprocessing parity)
+    act2 = scorer.activations_gan(imgs.astype(np.float32) / 127.5 - 1.0)
+    np.testing.assert_allclose(act, act2, rtol=2e-2, atol=2e-3)
+    # identical sets -> FID 0 (rank-deficient cov exercises the sqrtm
+    # jitter path)
+    imgs6 = np.concatenate([imgs, imgs]) 
+    assert scorer.fid_between(imgs6, imgs6) < 1e-3
+
+
+def test_fid_scorer_against_npz_stats(tmp_path):
+    import jax
+    from text2img_ekl_tpu.eval.fid import (
+        FIDScorer, calculate_activation_statistics)
+    from text2img_ekl_tpu.models.inception_v3 import make_inception
+
+    model = make_inception(1000, 'slim')
+    variables = jax.jit(model.init)({'params': jax.random.PRNGKey(0)},
+                                    np.zeros((1, 299, 299, 3), np.float32))
+    scorer = FIDScorer(variables, batch_size=4)
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    mu, sigma = calculate_activation_statistics(
+        scorer.activations_uint8(imgs))
+    np.savez(tmp_path / 'stats.npz', mu=mu, sigma=sigma)
+    fid = scorer.fid_against_stats(imgs, str(tmp_path / 'stats.npz'))
+    assert fid < 1e-3
