@@ -143,6 +143,10 @@ class Config:
     # vmapped program batches the convs but serializes worse through the
     # capsule kernels and conv emitters (PERF.md).
     TPU_GROUPED_D: bool = False
+    # xla_tpu_scoped_vmem_limit_kib for the fused train step (0 = compiler
+    # default). Conv emitters budget their scratch against this; the v5e's
+    # physical VMEM is far above the default (PERF.md).
+    TPU_SCOPED_VMEM_KIB: int = 0
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3

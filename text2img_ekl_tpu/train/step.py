@@ -292,8 +292,16 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         fakes = jax.lax.stop_gradient(imgs[-1])
         return new_state, metrics, fakes
 
+    # Optional raised conv-scratch budget for the backend compiler
+    # (TPU_SCOPED_VMEM_KIB; 0 = default). Only attached when set, so the
+    # CPU/virtual-mesh test path never sees a TPU-only option.
+    kib = int(getattr(cfg, 'TPU_SCOPED_VMEM_KIB', 0) or 0)
+    jit_kw = dict(donate_argnums=(0,))
+    if kib > 0:
+        jit_kw['compiler_options'] = {'xla_tpu_scoped_vmem_limit_kib': kib}
+
     if mesh is None:
-        return jax.jit(local_step, donate_argnums=(0,))
+        return jax.jit(local_step, **jit_kw)
 
     batch_spec = {
         'real': (P(DATA_AXIS),) * num_ds,
@@ -318,9 +326,9 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         batch_sh = jax.tree.map(
             lambda spec: NamedSharding(mesh, spec), batch_spec,
             is_leaf=lambda x: isinstance(x, P))
-        return jax.jit(local_step, donate_argnums=(0,),
+        return jax.jit(local_step,
                        in_shardings=(rep, batch_sh, rep),
-                       out_shardings=(rep, rep, shard0))
+                       out_shardings=(rep, rep, shard0), **jit_kw)
 
     sharded = jax.shard_map(
         local_step, mesh=mesh,
@@ -328,7 +336,7 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         out_specs=(P(), P(), P(DATA_AXIS)),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    return jax.jit(sharded, **jit_kw)
 
 
 def make_sample_fn(cfg, G, mesh: Mesh = None, train_mode: bool = False):
