@@ -27,14 +27,14 @@ BASELINE_IMAGES_PER_SEC = 37.0
 
 def main():
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from text2img_ekl_tpu.config import cfg_from_file
     from text2img_ekl_tpu.models import build_discriminators, build_generator
     from text2img_ekl_tpu.parallel import make_mesh, shard_batch
     from text2img_ekl_tpu.train import create_train_state, make_train_step
-    from text2img_ekl_tpu.train.step import cond_code_width
+    from text2img_ekl_tpu.train.step import (
+        cond_code_width, make_synthetic_batch)
 
     cfg_name = os.environ.get('BENCH_CFG',
                               'birds_2stg_splitz_cap_ca.realcls.yml')
@@ -60,19 +60,7 @@ def main():
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
     B = bs * n_chips
-    sizes = cfg.branch_sizes()
-    ks = jax.random.split(jax.random.PRNGKey(7), 8)
-    cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
-    batch = {
-        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
-                      for i, s in enumerate(sizes)),
-        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
-                       for i, s in enumerate(sizes)),
-        'txt': jax.random.normal(ks[6], (B, cfg.TEXT.DIMENSION)) * 0.4,
-        'cls_onehot': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM),
-        'real_cp': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM + 1),
-    }
-    batch = shard_batch(mesh, batch)
+    batch = shard_batch(mesh, make_synthetic_batch(cfg, B))
 
     # warmup/compile; sync via value fetch (block_until_ready does not
     # actually block on the tunneled axon backend)
@@ -88,8 +76,12 @@ def main():
     imgs_per_sec = B * steps / dt
     per_chip = imgs_per_sec / n_chips
     result = {
+        # the canonical flagship metric name is stable regardless of HOW
+        # the flagship config was selected; vs_baseline is only meaningful
+        # against the flagship's 37 img/s anchor, but the metric name
+        # labels the workload either way.
         'metric': 'cub_flagship_train_images_per_sec_per_chip'
-        if 'BENCH_CFG' not in os.environ
+        if cfg_name == 'birds_2stg_splitz_cap_ca.realcls.yml'
         else f'train_images_per_sec_per_chip[{cfg_name}]',
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',

@@ -15,7 +15,7 @@ from text2img_ekl_tpu.config import cfg_from_file
 from text2img_ekl_tpu.models import build_discriminators, build_generator
 from text2img_ekl_tpu.parallel import make_mesh, shard_batch
 from text2img_ekl_tpu.train import create_train_state, make_train_step
-from text2img_ekl_tpu.train.step import cond_code_width
+from text2img_ekl_tpu.train.step import cond_code_width, make_synthetic_batch
 
 REF_CFG_DIR = '/root/reference/cfg'
 RNG = jax.random.PRNGKey(0)
@@ -31,27 +31,8 @@ def _small(cfg, bs=2):
 
 
 def _batch(cfg, B, coco=False):
-    ks = jax.random.split(jax.random.PRNGKey(7), 8)
-    sizes = cfg.branch_sizes()
-    b = {
-        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
-                      for i, s in enumerate(sizes)),
-        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
-                       for i, s in enumerate(sizes)),
-    }
-    n1 = cfg.GAN.ENTITY_DIM + 1
-    if coco:
-        multi = (jax.random.uniform(ks[6], (B, n1)) > 0.7).astype(jnp.float32)
-        multi = multi.at[:, 0].set(1.0)
-        b['cond'] = jnp.concatenate(
-            [jax.random.normal(ks[7], (B, cfg.TEXT.DIMENSION)), multi], axis=1)
-        b['real_cp'] = multi / jnp.sum(multi, axis=1, keepdims=True)
-    else:
-        b['txt'] = jax.random.normal(ks[7], (B, cfg.TEXT.DIMENSION)) * 0.4
-        cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
-        b['cls_onehot'] = jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM)
-        b['real_cp'] = jax.nn.one_hot(cls, n1)
-    return b
+    # the strategy schema is derived from cfg inside the shared builder
+    return make_synthetic_batch(cfg, B)
 
 
 def _setup(name, coco=False, B=16):

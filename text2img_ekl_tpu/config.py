@@ -143,6 +143,10 @@ class Config:
     # vmapped program batches the convs but serializes worse through the
     # capsule kernels and conv emitters (PERF.md).
     TPU_GROUPED_D: bool = False
+    # NextStageG joint conv: True = tile-free exact rewrite of the
+    # condition concat (default; +8.6% on the flagship step, PERF.md);
+    # False = the materialized-concat formulation. Parameters identical.
+    TPU_SPLIT_JOINTCONV: bool = True
     # xla_tpu_scoped_vmem_limit_kib for the fused train step (0 = compiler
     # default). Conv emitters budget their scratch against this; the v5e's
     # physical VMEM is far above the default (PERF.md).

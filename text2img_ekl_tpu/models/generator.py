@@ -477,12 +477,15 @@ def _make_init_stage(m) -> nn.Module:
 
 
 def _apply_bn_dtype_policy(cfg) -> None:
-    """Set the module-level BatchNorm compute dtype from config (must run
-    before model construction/tracing)."""
+    """Set the module-level block policies from config (must run before
+    model construction/tracing): BatchNorm compute dtype and the joint-conv
+    formulation."""
     from ..nn import blocks
     blocks.BN_DTYPE = jnp.bfloat16 \
         if getattr(cfg, 'TPU_BN_DTYPE', 'float32') == 'bfloat16' \
         else jnp.float32
+    blocks.SPLIT_JOINT_CONV = bool(
+        getattr(cfg, 'TPU_SPLIT_JOINTCONV', True))
 
 
 def build_generator(cfg, train_flag: bool = True) -> nn.Module:

@@ -63,8 +63,15 @@ BN_DTYPE = jnp.float32
 
 # Joint-conv formulation for NextStageG: True = tile-free exact rewrite
 # (default, see _JointConv3x3); False = materialized concat (A/B escape
-# hatch — parameters are identical either way).
+# hatch — parameters are identical either way). Set via config
+# TPU_SPLIT_JOINTCONV before model construction (generator.py applies it).
 SPLIT_JOINT_CONV = True
+
+# BatchNorm running-average momentum (torch default 0.1 "new fraction" ==
+# flax momentum 0.9). The grouped-D running-average combination in
+# train/step.py depends on this exact value — keep them in sync through
+# this constant.
+BN_MOMENTUM = 0.9
 
 
 class BatchNorm(nn.Module):
@@ -84,7 +91,7 @@ class BatchNorm(nn.Module):
             else use_running_average
         return nn.BatchNorm(
             use_running_average=ura,
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype or BN_DTYPE,
             param_dtype=jnp.float32,
@@ -151,6 +158,9 @@ class _JointConv3x3(nn.Module):
                       axis=1)  # (3, 3, Cc, F)
         tile = jnp.einsum('bc,ijcf->bijf', c_vec.astype(self.dtype), T)
         s = h.shape[1]
+        assert h.shape[1] == h.shape[2], \
+            'joint conv border classes assume square feature maps'
+        assert s >= 2, 'joint conv window classes need spatial size >= 2'
         idx = np.concatenate([[0], np.ones(s - 2, np.int64), [2]])
         R = jnp.asarray(np.eye(3, dtype=np.float32)[idx], self.dtype)
         full_c = jnp.einsum('si,bijf,tj->bstf', R, tile, R)

@@ -98,7 +98,7 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     g_tx = make_optimizer(cfg.TRAIN.GENERATOR_LR)
     d_tx = make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR)
     single_cond = isinstance(G, CondGNet)
-    grouped_d = bool(getattr(cfg, 'TPU_GROUPED_D', True))
+    grouped_d = bool(getattr(cfg, 'TPU_GROUPED_D', False))
 
     def pmean(x):
         if coll_mesh is None:
@@ -177,10 +177,10 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
                     fl = tuple(o[2] for o in outs)
                     # Sequential running-average threading (real, then
                     # wrong, then fake; new = a*old + (1-a)*batch with
-                    # a=0.9) combined exactly from the three independent
-                    # one-update results:
+                    # a = BN momentum) combined exactly from the three
+                    # independent one-update results:
                     #   s3 = a^2*s_r' + a*s_w' + s_f' - (a^2 + a)*s0
-                    a = 0.9
+                    from ..nn.blocks import BN_MOMENTUM as a
                     s = {'batch_stats': jax.tree.map(
                         lambda s3, s0: a * a * s3[0] + a * s3[1] + s3[2]
                         - (a * a + a) * s0, stats3, stats0)}
@@ -337,6 +337,37 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         check_vma=False,
     )
     return jax.jit(sharded, **jit_kw)
+
+
+def make_synthetic_batch(cfg, batch_size: int, seed: int = 7):
+    """Synthetic step batch matching the strategy schema for a config
+    (the single source the benchmarks/tools share — the split-z
+    strategies take txt/cls_onehot, the single-cond COCO strategy takes
+    cond with soft multi-hot targets; see make_train_step's docstring).
+    """
+    B = batch_size
+    sizes = cfg.branch_sizes()
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    n1 = cfg.GAN.ENTITY_DIM + 1
+    batch = {
+        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
+                      for i, s in enumerate(sizes)),
+        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
+                       for i, s in enumerate(sizes)),
+    }
+    if cfg.DATASET_NAME == 'coco':
+        multi = (jax.random.uniform(ks[6], (B, n1)) > 0.7).astype(jnp.float32)
+        multi = multi.at[:, 0].set(1.0)
+        batch['cond'] = jnp.concatenate(
+            [jax.random.normal(ks[7], (B, cfg.TEXT.DIMENSION)), multi],
+            axis=1)
+        batch['real_cp'] = multi / jnp.sum(multi, axis=1, keepdims=True)
+    else:
+        cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
+        batch['txt'] = jax.random.normal(ks[6], (B, cfg.TEXT.DIMENSION)) * 0.4
+        batch['cls_onehot'] = jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM)
+        batch['real_cp'] = jax.nn.one_hot(cls, n1)
+    return batch
 
 
 def make_sample_fn(cfg, G, mesh: Mesh = None, train_mode: bool = False):

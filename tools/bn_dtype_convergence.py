@@ -17,13 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run(bn_dtype: str, steps: int, bs: int, log_every: int):
     import jax
-    import jax.numpy as jnp
 
     from text2img_ekl_tpu.config import cfg_from_file
     from text2img_ekl_tpu.models import build_discriminators, build_generator
     from text2img_ekl_tpu.parallel import make_mesh, shard_batch
     from text2img_ekl_tpu.train import create_train_state, make_train_step
-    from text2img_ekl_tpu.train.step import cond_code_width
+    from text2img_ekl_tpu.train.step import (
+        cond_code_width, make_synthetic_batch)
 
     cfg = cfg_from_file('cfg/birds_2stg_splitz_cap_ca.realcls.yml')
     cfg.TPU_BN_DTYPE = bn_dtype
@@ -35,19 +35,7 @@ def run(bn_dtype: str, steps: int, bs: int, log_every: int):
                                cond_code_width(cfg))
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
-    sizes = cfg.branch_sizes()
-    ks = jax.random.split(jax.random.PRNGKey(7), 8)
-    cls = jnp.arange(bs) % cfg.GAN.ENTITY_DIM
-    batch = {
-        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (bs, s, s, 3)))
-                      for i, s in enumerate(sizes)),
-        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (bs, s, s, 3)))
-                       for i, s in enumerate(sizes)),
-        'txt': jax.random.normal(ks[6], (bs, cfg.TEXT.DIMENSION)) * 0.4,
-        'cls_onehot': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM),
-        'real_cp': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM + 1),
-    }
-    batch = shard_batch(mesh, batch)
+    batch = shard_batch(mesh, make_synthetic_batch(cfg, bs))
 
     traj = []
     for i in range(steps):

@@ -25,14 +25,13 @@ def main():
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from text2img_ekl_tpu.config import cfg_from_file
     from text2img_ekl_tpu.models import build_discriminators, build_generator
     from text2img_ekl_tpu.parallel import make_mesh, shard_batch
     from text2img_ekl_tpu.train import create_train_state, make_train_step
-    from text2img_ekl_tpu.train.step import cond_code_width
+    from text2img_ekl_tpu.train.step import (
+        cond_code_width, make_synthetic_batch)
 
     cfg = cfg_from_file('cfg/birds_2stg_splitz_cap_ca.realcls.yml')
     cfg.TPU_BN_DTYPE = args.bn_dtype
@@ -45,19 +44,7 @@ def main():
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
     B = args.bs
-    sizes = cfg.branch_sizes()
-    ks = jax.random.split(jax.random.PRNGKey(7), 8)
-    cls = jnp.arange(B) % cfg.GAN.ENTITY_DIM
-    batch = {
-        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
-                      for i, s in enumerate(sizes)),
-        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
-                       for i, s in enumerate(sizes)),
-        'txt': jax.random.normal(ks[6], (B, cfg.TEXT.DIMENSION)) * 0.4,
-        'cls_onehot': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM),
-        'real_cp': jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM + 1),
-    }
-    batch = shard_batch(mesh, batch)
+    batch = shard_batch(mesh, make_synthetic_batch(cfg, B))
 
     lowered = step_fn.lower(state, batch, jax.random.PRNGKey(1))
     compiled = lowered.compile()
@@ -67,7 +54,9 @@ def main():
     flops = ca.get('flops', float('nan'))
     bytes_acc = ca.get('bytes accessed', float('nan'))
 
-    # measure (fresh jit so donation doesn't fight the AOT object)
+    # measure through the jit cache, NOT the AOT object: executing a
+    # lowered.compile() result directly is pathologically slow on the
+    # tunneled axon backend (PERF.md), so the double compile is deliberate.
     state2, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(1))
     _ = float(metrics['errG'])
     n = 20
