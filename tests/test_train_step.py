@@ -159,6 +159,65 @@ def test_gspmd_mode_matches_single_device():
                                atol=1e-4)
 
 
+def test_sharded_adam_matches_replicated():
+    """TPU_SHARDED_ADAM (ZeRO-1 weight-update sharding,
+    arXiv:2004.13336): reduce_scatter grads -> shard-local Adam ->
+    all_gather deltas computes the SAME training trajectory as replicated
+    Adam, while each device stores only 1/N of the moments."""
+    name = 'birds_2stg_splitz_cap_ca.realcls.yml'
+    cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
+    mesh = make_mesh()
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    batch = shard_batch(mesh, _batch(cfg, 16))
+
+    cfg.TPU_SHARDED_ADAM = False
+    state_r = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    step_r = make_train_step(cfg, G, Ds, mesh)
+    cfg.TPU_SHARDED_ADAM = True
+    state_z = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg),
+                                 mesh=mesh)
+    step_z = make_train_step(cfg, G, Ds, mesh)
+
+    # the sharded mode holds ONE global moment vector, not a replica tree
+    mu_z = jax.tree.leaves(state_z.g_opt_state)
+    assert any(getattr(x, 'ndim', 0) == 1 for x in mu_z)
+
+    # one step: strict equivalence (the reduce_scatter sums the same
+    # values as pmean, modulo association order)
+    state_r, mr, _ = step_r(state_r, batch, jax.random.PRNGKey(5))
+    state_z, mz, _ = step_z(state_z, batch, jax.random.PRNGKey(5))
+    for k in mr:
+        np.testing.assert_allclose(float(mr[k]), float(mz[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    # Adam's normalized step is sign-like where |g| ~ 0 (zero-init
+    # biases with near-cancelling batch gradients), so the ~1e-7
+    # association-order difference between pmean and reduce_scatter can
+    # flip individual updates; each one-step update is bounded by ~lr, so
+    # the drift bound is 2*lr per element. The collective plumbing itself
+    # is checked exactly in test_zero1_reduction_matches_pmean.
+    lr = cfg.TRAIN.GENERATOR_LR
+    for pr, pz in zip(jax.tree.leaves(state_r.g_params),
+                      jax.tree.leaves(state_z.g_params)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pz),
+                                   rtol=2e-4, atol=2.2 * lr)
+    for pr, pz in zip(jax.tree.leaves(state_r.d_params),
+                      jax.tree.leaves(state_z.d_params)):
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pz),
+                                   rtol=2e-4, atol=2.2 * lr)
+
+    # two more steps: the ~1e-7 association-order difference amplifies
+    # through the adversarial dynamics; trajectories must stay in the
+    # same band (finite, sub-percent)
+    for i in range(2):
+        state_r, mr, _ = step_r(state_r, batch, jax.random.PRNGKey(6 + i))
+        state_z, mz, _ = step_z(state_z, batch, jax.random.PRNGKey(6 + i))
+    for k in mr:
+        assert np.isfinite(float(mz[k])), k
+        np.testing.assert_allclose(float(mr[k]), float(mz[k]),
+                                   rtol=2e-2, atol=1e-3, err_msg=k)
+
+
 def test_grouped_d_matches_sequential():
     """TPU_GROUPED_D (vmapped real/wrong/fake D pass, default off — 5%
     slower on the v5e, PERF.md) computes the SAME step as the sequential
@@ -212,3 +271,38 @@ def test_coco_strategy_step():
         assert np.isfinite(float(v)), k
     assert float(metrics['kl_cls']) == 0.0  # single KL for the coco path
     assert float(metrics['errD']) > 0
+
+
+def test_zero1_reduction_matches_pmean():
+    """The ZeRO-1 collective plumbing in isolation: flatten -> pad ->
+    psum_scatter/n -> all_gather -> unflatten over a pytree equals
+    lax.pmean of the tree to float tolerance (no optimizer involved)."""
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import PartitionSpec as P
+    from text2img_ekl_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    # leading axis = device-local values (different on every device)
+    tree = {'w': jax.random.normal(k1, (n, 5, 7)),
+            'b': jax.random.normal(k2, (n, 13))}
+
+    def body(t):
+        ref = jax.tree.map(lambda x: jax.lax.pmean(x, DATA_AXIS), t)
+        flat, unravel = ravel_pytree(t)
+        pad = (-flat.size) % n
+        flatp = jnp.pad(flat, (0, pad))
+        shard = jax.lax.psum_scatter(
+            flatp, DATA_AXIS, scatter_dimension=0, tiled=True) / n
+        full = jax.lax.all_gather(shard, DATA_AXIS, axis=0, tiled=True)
+        return ref, unravel(full[:flat.size])
+
+    specs = {'w': P(DATA_AXIS), 'b': P(DATA_AXIS)}
+    ref, got = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs,), out_specs=(P(), P()),
+        check_vma=False))(tree)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        ref, got)

@@ -143,6 +143,16 @@ class Config:
     # vmapped program batches the convs but serializes worse through the
     # capsule kernels and conv emitters (PERF.md).
     TPU_GROUPED_D: bool = False
+    # ZeRO-1-style cross-replica weight-update sharding on the shard_map
+    # path (after "Automatic Cross-Replica Sharding of Weight Update in
+    # Data-Parallel Training", arXiv:2004.13336): gradients reduce_scatter
+    # into per-device shards, Adam runs on 1/N of the moments per device,
+    # updated deltas all_gather back — optimizer state holds one global
+    # copy sharded over the data axis instead of N replicas. Numerically
+    # equivalent to replicated Adam (tested on the virtual mesh); changes
+    # the optimizer-state pytree shape, so checkpoints don't interchange
+    # across this flag.
+    TPU_SHARDED_ADAM: bool = False
     # NextStageG joint conv: True = tile-free exact rewrite of the
     # condition concat (default; +8.6% on the flagship step, PERF.md);
     # False = the materialized-concat formulation. Parameters identical.

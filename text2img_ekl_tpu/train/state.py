@@ -39,12 +39,37 @@ class TrainState:
     g_ema_params: Any = None
 
 
-def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
+def zero1_shard_count(cfg, mesh) -> int:
+    """Number of weight-update shards (1 = replicated Adam). Sharding is
+    only active for TPU_SHARDED_ADAM on a multi-device shard_map mesh."""
+    if (mesh is not None and mesh.devices.size > 1
+            and getattr(cfg, 'TPU_SHARDED_ADAM', False)
+            and getattr(cfg, 'TPU_SPMD_MODE', 'shard_map') == 'shard_map'):
+        return int(mesh.devices.size)
+    return 1
+
+
+def _opt_init(tx, params, n_shards: int):
+    """Optimizer state: full tree when replicated; one GLOBAL flat moment
+    vector (padded to n_shards) when weight-update sharding is on — the
+    shard_map in_specs then slice it 1/N per device (ZeRO-1)."""
+    if n_shards <= 1:
+        return tx.init(params)
+    from jax.flatten_util import ravel_pytree
+    flat, _ = ravel_pytree(params)
+    padded = flat.size + ((-flat.size) % n_shards)
+    return tx.init(jnp.zeros((padded,), flat.dtype))
+
+
+def create_train_state(cfg, G, Ds, rng, cond_width: int,
+                       mesh=None) -> TrainState:
     """Initialize G/D variables and optimizer states for a config.
 
     ``cond_width`` is the width of the condition code fed to the joint
-    discriminators (cat of mus under CAT_Z='concat').
+    discriminators (cat of mus under CAT_Z='concat'). ``mesh`` is only
+    needed when TPU_SHARDED_ADAM shards the weight update.
     """
+    n_shards = zero1_shard_count(cfg, mesh)
     bs = 2  # init shapes don't affect params; keep tracing cheap
     sizes = cfg.branch_sizes()
     k_g, k_d, k_r = jax.random.split(rng, 3)
@@ -73,10 +98,11 @@ def create_train_state(cfg, G, Ds, rng, cond_width: int) -> TrainState:
             {'params': k}, img, cond)
         d_params.append(d_vars['params'])
         d_stats.append(d_vars.get('batch_stats', {}))
-        d_opts.append(make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR).init(
-            d_vars['params']))
+        d_opts.append(_opt_init(make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR),
+                                d_vars['params'], n_shards))
 
-    g_opt = make_optimizer(cfg.TRAIN.GENERATOR_LR).init(g_vars['params'])
+    g_opt = _opt_init(make_optimizer(cfg.TRAIN.GENERATOR_LR),
+                      g_vars['params'], n_shards)
     ema_decay = getattr(cfg, 'TPU_EMA_DECAY', 0.0)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -99,6 +99,27 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     d_tx = make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR)
     single_cond = isinstance(G, CondGNet)
     grouped_d = bool(getattr(cfg, 'TPU_GROUPED_D', False))
+    from .state import zero1_shard_count
+    n_shards = zero1_shard_count(cfg, mesh)  # >1 => ZeRO-1 weight update
+
+    def opt_update(tx, grads, opt_state, params):
+        """Replicated: pmean grads, full Adam everywhere. Sharded
+        (TPU_SHARDED_ADAM, arXiv:2004.13336): reduce_scatter the flat
+        gradient, run Adam on the local 1/N shard of the moments,
+        all_gather the update deltas — same math, 1/N optimizer HBM
+        traffic and state per device, collectives ride ICI."""
+        if n_shards <= 1:
+            grads = pmean(grads)
+            return tx.update(grads, opt_state, params)
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(grads)
+        pad = (-flat.size) % n_shards
+        flatp = jnp.pad(flat, (0, pad))
+        gshard = jax.lax.psum_scatter(
+            flatp, DATA_AXIS, scatter_dimension=0, tiled=True) / n_shards
+        ushard, new_opt = tx.update(gshard, opt_state)
+        ufull = jax.lax.all_gather(ushard, DATA_AXIS, axis=0, tiled=True)
+        return unravel(ufull[:flat.size]), new_opt
 
     def pmean(x):
         if coll_mesh is None:
@@ -215,9 +236,8 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
 
             (errD, (d_bs, parts)), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(state.d_params[i])
-            d_grads = pmean(d_grads)
-            updates, opt = d_tx.update(d_grads, state.d_opt_states[i],
-                                       state.d_params[i])
+            updates, opt = opt_update(d_tx, d_grads, state.d_opt_states[i],
+                                      state.d_params[i])
             new_d_params.append(jax.tree.map(
                 lambda p, u: p + u, state.d_params[i], updates))
             new_d_bs.append(d_bs)
@@ -250,9 +270,8 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         (errGs, (g_match, g_uncond, g_cls, kls, final_d_bs)), out_grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(gen_outs)
         (g_grads,) = g_vjp(out_grads)
-        g_grads = pmean(g_grads)
-        g_updates, g_opt = g_tx.update(g_grads, state.g_opt_state,
-                                       state.g_params)
+        g_updates, g_opt = opt_update(g_tx, g_grads, state.g_opt_state,
+                                      state.g_params)
         new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
                                     g_updates)
 
@@ -330,10 +349,32 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
                        in_shardings=(rep, batch_sh, rep),
                        out_shardings=(rep, rep, shard0), **jit_kw)
 
+    if n_shards > 1:
+        # ZeRO-1: optimizer-state moment vectors are GLOBAL arrays sharded
+        # over the data axis (each device owns 1/N); everything else in the
+        # TrainState is replicated. The spec mirrors the optax state
+        # structure (flat vector leaves -> sharded, scalars -> replicated).
+        def opt_spec(tx):
+            s = tx.init(jnp.zeros((n_shards,), jnp.float32))
+            return jax.tree.map(
+                lambda x: P(DATA_AXIS) if getattr(x, 'ndim', 0) >= 1
+                else P(), s)
+
+        from .state import TrainState as TS
+        state_spec = TS(
+            step=P(), g_params=P(), g_batch_stats=P(),
+            g_opt_state=opt_spec(g_tx),
+            d_params=P(), d_batch_stats=P(),
+            d_opt_states=tuple(opt_spec(d_tx) for _ in range(num_ds)),
+            g_ema_params=P(),
+        )
+    else:
+        state_spec = P()
+
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P(), batch_spec, P()),
-        out_specs=(P(), P(), P(DATA_AXIS)),
+        in_specs=(state_spec, batch_spec, P()),
+        out_specs=(state_spec, P(), P(DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(sharded, **jit_kw)
