@@ -56,7 +56,8 @@ def main():
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(cfg, G, Ds, rng, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, rng, cond_code_width(cfg),
+                               mesh=mesh)
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
     B = bs * n_chips

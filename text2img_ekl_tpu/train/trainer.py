@@ -146,7 +146,8 @@ class CondGANTrainer:
     def train(self, max_steps: Optional[int] = None):
         cfg = self.cfg
         state = create_train_state(cfg, self.G, self.Ds,
-                                   jax.random.PRNGKey(0), self.cond_width)
+                                   jax.random.PRNGKey(0), self.cond_width,
+                                   mesh=self.mesh)
         start_epoch = 0
         if cfg.TRAIN.NET_G:
             # Explicit train-mode resume: the reference parses the epoch
@@ -378,7 +379,7 @@ class CondGANTrainer:
                 return
             abstract = create_train_state(cfg, self.G, self.Ds,
                                           jax.random.PRNGKey(0),
-                                          self.cond_width)
+                                          self.cond_width, mesh=self.mesh)
             if cfg.TRAIN.NET_G.endswith('.pth'):
                 # reference-trained torch snapshot (eval configs point at
                 # netG_*.pth, e.g. cfg/eval_birds.yml)

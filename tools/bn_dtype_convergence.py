@@ -32,7 +32,7 @@ def run(bn_dtype: str, steps: int, bs: int, log_every: int):
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
-                               cond_code_width(cfg))
+                               cond_code_width(cfg), mesh=mesh)
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
     batch = shard_batch(mesh, make_synthetic_batch(cfg, bs))

@@ -40,7 +40,7 @@ def main():
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
-                               cond_code_width(cfg))
+                               cond_code_width(cfg), mesh=mesh)
     step_fn = make_train_step(cfg, G, Ds, mesh)
 
     B = args.bs
