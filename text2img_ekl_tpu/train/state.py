@@ -61,6 +61,28 @@ def _opt_init(tx, params, n_shards: int):
     return tx.init(jnp.zeros((padded,), flat.dtype))
 
 
+def place_state_on_mesh(cfg, mesh, state: TrainState) -> TrainState:
+    """Re-place a (restored) TrainState for a multi-device mesh:
+    everything replicated, EXCEPT the ZeRO-1 flat moment vectors when
+    TPU_SHARDED_ADAM is on — those live sharded over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    if zero1_shard_count(cfg, mesh) <= 1:
+        return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    shd = NamedSharding(mesh, P(DATA_AXIS))
+
+    def place_opt(t):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, shd if getattr(x, 'ndim', 0) >= 1
+                                     else rep), t)
+
+    placed = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    return placed.replace(
+        g_opt_state=place_opt(state.g_opt_state),
+        d_opt_states=tuple(place_opt(o) for o in state.d_opt_states))
+
+
 def create_train_state(cfg, G, Ds, rng, cond_width: int,
                        mesh=None) -> TrainState:
     """Initialize G/D variables and optimizer states for a config.

@@ -337,9 +337,8 @@ class CondGANTrainer:
         committed to one device, which conflicts with mesh-sharded batch
         inputs under jit)."""
         if self.num_shards > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sh = NamedSharding(self.mesh, P())
-            return jax.tree.map(lambda x: jax.device_put(x, sh), state)
+            from .state import place_state_on_mesh
+            return place_state_on_mesh(self.cfg, self.mesh, state)
         return jax.tree.map(jnp.asarray, state)
 
     def _big_eval(self, state, rng, n: int = 1000) -> float:
