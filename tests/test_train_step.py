@@ -30,18 +30,18 @@ def _small(cfg, bs=2):
     return cfg
 
 
-def _batch(cfg, B, coco=False):
+def _batch(cfg, B):
     # the strategy schema is derived from cfg inside the shared builder
     return make_synthetic_batch(cfg, B)
 
 
-def _setup(name, coco=False, B=16):
+def _setup(name, B=16):
     cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
     mesh = make_mesh()
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
-    batch = shard_batch(mesh, _batch(cfg, B, coco))
+    batch = shard_batch(mesh, _batch(cfg, B))
     step = make_train_step(cfg, G, Ds, mesh)
     return cfg, state, batch, step
 
@@ -265,7 +265,7 @@ def test_three_branch_step():
 
 
 def test_coco_strategy_step():
-    cfg, state, batch, step = _setup('coco_2stgs.yml', coco=True)
+    cfg, state, batch, step = _setup('coco_2stgs.yml')
     new_state, metrics, _ = step(state, batch, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k

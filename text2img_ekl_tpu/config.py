@@ -151,7 +151,9 @@ class Config:
     # copy sharded over the data axis instead of N replicas. Numerically
     # equivalent to replicated Adam (tested on the virtual mesh); changes
     # the optimizer-state pytree shape, so checkpoints don't interchange
-    # across this flag.
+    # across this flag — NOR across mesh sizes (the moment vectors are
+    # padded to the device count): resume on the same topology, or write
+    # a repad migration first.
     TPU_SHARDED_ADAM: bool = False
     # NextStageG joint conv: True = tile-free exact rewrite of the
     # condition concat (default; +8.6% on the flagship step, PERF.md);

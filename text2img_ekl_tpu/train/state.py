@@ -77,8 +77,12 @@ def place_state_on_mesh(cfg, mesh, state: TrainState) -> TrainState:
             lambda x: jax.device_put(x, shd if getattr(x, 'ndim', 0) >= 1
                                      else rep), t)
 
-    placed = jax.tree.map(lambda x: jax.device_put(x, rep), state)
-    return placed.replace(
+    # Place the opt states sharded FIRST (never replicate the moment
+    # vectors, even transiently — that spike is exactly what ZeRO-1
+    # avoids), then replicate everything else.
+    rest = state.replace(g_opt_state=None, d_opt_states=())
+    rest = jax.tree.map(lambda x: jax.device_put(x, rep), rest)
+    return rest.replace(
         g_opt_state=place_opt(state.g_opt_state),
         d_opt_states=tuple(place_opt(o) for o in state.d_opt_states))
 
