@@ -34,7 +34,7 @@ def load_images(folder: str, limit: int = 0) -> list:
     return out
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument('--image_folder', required=True)
     ap.add_argument('--checkpoint_dir', default='',
@@ -44,32 +44,45 @@ def main():
     ap.add_argument('--batch_size', type=int, default=64)
     ap.add_argument('--limit', type=int, default=0)
     ap.add_argument('--general', action='store_true',
-                    help='ImageNet general-IS mode (no background slice)')
-    args = ap.parse_args()
+                    help='ImageNet general-IS mode (no background slice; '
+                         'weights from --pb, the frozen 2015 graph)')
+    ap.add_argument('--pb', default=os.environ.get('T2I_FID_PB', ''),
+                    help='classify_image_graph_def.pb for --general')
+    args = ap.parse_args(argv)
 
     import jax
     from text2img_ekl_tpu.eval.convert_tf import random_inception_variables
     from text2img_ekl_tpu.eval.inception_score import InceptionScorer
 
-    num_classes = 1000 if args.general else args.num_classes
-    if args.checkpoint_dir:
-        from text2img_ekl_tpu.eval.convert_tf import (
-            load_slim_checkpoint, slim_vars_to_flax)
-        variables = random_inception_variables(jax.random.PRNGKey(0),
-                                               num_classes)
-        tf_vars = load_slim_checkpoint(args.checkpoint_dir, num_classes)
-        variables = slim_vars_to_flax(tf_vars, variables)
+    if args.general:
+        if args.pb and os.path.exists(args.pb):
+            scorer = InceptionScorer.from_frozen_pb(
+                args.pb, batch_size=args.batch_size)
+        else:
+            print('!! no --pb: random inception weights, general IS is NOT '
+                  'comparable to the reference')
+            variables = random_inception_variables(
+                jax.random.PRNGKey(0), 1008, flavor='fid')
+            scorer = InceptionScorer(variables, 1008, finetuned=False,
+                                     flavor='fid',
+                                     batch_size=args.batch_size)
     else:
-        print('!! no checkpoint: random inception weights, scores are NOT '
-              'comparable to the reference')
+        num_classes = args.num_classes
         variables = random_inception_variables(jax.random.PRNGKey(0),
                                                num_classes)
+        if args.checkpoint_dir:
+            from text2img_ekl_tpu.eval.convert_tf import (
+                load_slim_checkpoint, slim_vars_to_flax)
+            tf_vars = load_slim_checkpoint(args.checkpoint_dir, num_classes)
+            variables = slim_vars_to_flax(tf_vars, variables)
+        else:
+            print('!! no checkpoint: random inception weights, scores are '
+                  'NOT comparable to the reference')
+        scorer = InceptionScorer(variables, num_classes, finetuned=True,
+                                 batch_size=args.batch_size)
 
     images = load_images(args.image_folder, args.limit)
     print('images:', len(images))
-    scorer = InceptionScorer(variables, num_classes,
-                             finetuned=not args.general,
-                             batch_size=args.batch_size)
     mean, std = scorer.score_images(images, args.splits)
     print('IS: %.4f +- %.4f' % (mean, std))
 

@@ -166,5 +166,7 @@ def test_load_frozen_graph_weights(tmp_path):
     pb.write_bytes(g.SerializeToString())
 
     out = load_frozen_graph_weights(str(pb))
-    assert set(out) == {'conv/weights'}
+    assert set(out) == {'conv/weights', '__scale_after_normalization__'}
+    # no BatchNormWithGlobalNormalization nodes -> gamma applies by default
+    assert bool(out['__scale_after_normalization__']) is True
     np.testing.assert_array_equal(out['conv/weights'], w)

@@ -165,7 +165,184 @@ def load_frozen_graph_weights(pb_path: str) -> Dict[str, np.ndarray]:
                     tf.make_ndarray(node.attr['value'].tensor))
             except Exception:
                 pass
+    # Old-style fused BN nodes carry a scale_after_normalization attr; if
+    # the graph says gamma is NOT applied, the converter must skip the
+    # gamma fold even though gamma constants exist. Composed-op graphs
+    # (Mul/Add) have no such attr -> gamma is applied by construction.
+    scale_flags = [
+        bool(node.attr['scale_after_normalization'].b)
+        for node in graph_def.node
+        if node.op == 'BatchNormWithGlobalNormalization']
+    out['__scale_after_normalization__'] = np.asarray(
+        all(scale_flags) if scale_flags else True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Frozen 2015 'classify_image_graph_def.pb' -> flax (converter (b)).
+#
+# The 2015 export names things by the ORIGINAL google/inception convention,
+# not slim scopes: stem convs are conv/conv_1/../conv_4, blocks are
+# mixed/mixed_1/../mixed_10, branches are conv (1x1), tower, tower_1,
+# tower_2 (pool branch), and each conv's weights live in Const nodes
+# '<scope>/conv2d_params' + '<scope>/batchnorm/{beta,gamma,moving_mean,
+# moving_variance}'. The classifier is 'softmax/weights' [2048, 1008]
+# (+ 'softmax/biases', which the reference IGNORES: general IS multmuls the
+# weight alone, inception_score_general.py:97-99, so the converted logits
+# bias is zero). Build the model with make_inception(n, 'fid') — slim
+# semantics plus the mixed_10 max-pool quirk (models/inception_v3.py).
+
+_FROZEN_STEM = {'conv0': 'conv', 'conv1': 'conv_1', 'conv2': 'conv_2',
+                'conv3': 'conv_3', 'conv4': 'conv_4'}
+
+_FZ_M35 = {'branch1x1': 'conv',
+           'branch5x5_1': 'tower/conv', 'branch5x5_2': 'tower/conv_1',
+           'branch3x3dbl_1': 'tower_1/conv',
+           'branch3x3dbl_2': 'tower_1/conv_1',
+           'branch3x3dbl_3': 'tower_1/conv_2',
+           'branch_pool': 'tower_2/conv'}
+_FZ_M17R = {'branch3x3': 'conv',
+            'branch3x3dbl_1': 'tower/conv',
+            'branch3x3dbl_2': 'tower/conv_1',
+            'branch3x3dbl_3': 'tower/conv_2'}
+_FZ_M17 = {'branch1x1': 'conv',
+           'branch7x7_1': 'tower/conv', 'branch7x7_2': 'tower/conv_1',
+           'branch7x7_3': 'tower/conv_2',
+           'branch7x7dbl_1': 'tower_1/conv',
+           'branch7x7dbl_2': 'tower_1/conv_1',
+           'branch7x7dbl_3': 'tower_1/conv_2',
+           'branch7x7dbl_4': 'tower_1/conv_3',
+           'branch7x7dbl_5': 'tower_1/conv_4',
+           'branch_pool': 'tower_2/conv'}
+_FZ_M8R = {'branch3x3_1': 'tower/conv', 'branch3x3_2': 'tower/conv_1',
+           'branch7x7x3_1': 'tower_1/conv',
+           'branch7x7x3_2': 'tower_1/conv_1',
+           'branch7x7x3_3': 'tower_1/conv_2',
+           'branch7x7x3_4': 'tower_1/conv_3'}
+_FZ_M8 = {'branch1x1': 'conv',
+          'branch3x3_1': 'tower/conv',
+          'branch3x3_2a': 'tower/mixed/conv',
+          'branch3x3_2b': 'tower/mixed/conv_1',
+          'branch3x3dbl_1': 'tower_1/conv',
+          'branch3x3dbl_2': 'tower_1/conv_1',
+          'branch3x3dbl_3a': 'tower_1/mixed/conv',
+          'branch3x3dbl_3b': 'tower_1/mixed/conv_1',
+          'branch_pool': 'tower_2/conv'}
+
+_FROZEN_BLOCKS = {
+    'mixed_35x35x256a': ('mixed', _FZ_M35),
+    'mixed_35x35x288a': ('mixed_1', _FZ_M35),
+    'mixed_35x35x288b': ('mixed_2', _FZ_M35),
+    'mixed_17x17x768a': ('mixed_3', _FZ_M17R),
+    'mixed_17x17x768b': ('mixed_4', _FZ_M17),
+    'mixed_17x17x768c': ('mixed_5', _FZ_M17),
+    'mixed_17x17x768d': ('mixed_6', _FZ_M17),
+    'mixed_17x17x768e': ('mixed_7', _FZ_M17),
+    'mixed_8x8x1280a': ('mixed_8', _FZ_M8R),
+    'mixed_8x8x2048a': ('mixed_9', _FZ_M8),
+    'mixed_8x8x2048b': ('mixed_10', _FZ_M8),
+}
+
+
+def _flax_path_to_frozen(path) -> str:
+    """Flax tree path -> the 2015 graph's conv scope (without the
+    /conv2d_params or /batchnorm/... leaf)."""
+    parts = [str(p) for p in path if str(p) not in ('params', 'batch_stats')]
+    mods = [m for m in parts[:-1]
+            if not m.startswith(('Conv', 'BatchNorm'))]
+    if mods[0] in _FROZEN_STEM:
+        return _FROZEN_STEM[mods[0]]
+    block, branch_map = _FROZEN_BLOCKS[mods[0]]
+    return '%s/%s' % (block, branch_map[mods[1]])
+
+
+def frozen_graph_to_flax(consts: Dict[str, np.ndarray],
+                         flax_variables: Dict[str, Any],
+                         bn_eps: float = 1e-3) -> Dict[str, Any]:
+    """Map the frozen 2015 graph's Const tensors onto our 'fid'-flavor
+    flax tree (from load_frozen_graph_weights).
+
+    The graph's BN has a gamma constant our scale-free BN lacks; it is
+    folded EXACTLY into the variance: gamma*(x-m)/sqrt(v+eps) + beta ==
+    (x-m)/sqrt(v'+eps) + beta with v' = (v+eps)/gamma^2 - eps (skipped when
+    the graph's BatchNormWithGlobalNormalization nodes declare
+    scale_after_normalization=False). The logits bias is zeroed — the
+    reference multiplies 'softmax/weights' alone and ignores
+    'softmax/biases' (inception_score_general.py:97-99).
+    Raises KeyError listing unmapped leaves.
+    """
+    import flax
+
+    fold_gamma = bool(consts.get('__scale_after_normalization__', True))
+    flat = flax.traverse_util.flatten_dict(flax_variables)
+    new = {}
+    missing = []
+    for path, val in flat.items():
+        leaf = str(path[-1])
+        mods = [str(p) for p in path[:-1]]
+        if 'logits' in mods:
+            if leaf == 'kernel':
+                src = consts.get('softmax/weights')
+                if src is None:
+                    missing.append('softmax/weights')
+                    new[path] = val
+                    continue
+                src = np.asarray(src, np.float32).reshape(val.shape)
+                new[path] = src
+            else:  # bias: reference ignores softmax/biases
+                new[path] = np.zeros(val.shape, np.float32)
+            continue
+        scope = _flax_path_to_frozen(path)
+        if leaf == 'kernel':
+            name = scope + '/conv2d_params'
+        else:
+            bn_leaf = {'bias': 'beta', 'mean': 'moving_mean',
+                       'var': 'moving_variance'}[leaf]
+            name = '%s/batchnorm/%s' % (scope, bn_leaf)
+        if name not in consts:
+            missing.append('%s -> %s' % ('/'.join(str(p) for p in path),
+                                         name))
+            new[path] = val
+            continue
+        src = np.asarray(consts[name], np.float32)
+        if leaf == 'var' and fold_gamma:
+            gamma = consts.get('%s/batchnorm/gamma' % scope)
+            if gamma is not None:
+                g = np.asarray(gamma, np.float32)
+                src = (src + bn_eps) / np.square(g) - bn_eps
+        if src.shape != tuple(val.shape):
+            raise ValueError('shape mismatch at %s (%s): %s vs %s' % (
+                '/'.join(str(p) for p in path), name, src.shape, val.shape))
+        new[path] = src
+    if missing:
+        raise KeyError('unmapped frozen-graph params: %s' % missing[:20])
+    return flax.traverse_util.unflatten_dict(new)
+
+
+#: where the reference downloads the frozen graph from (fid.py:190-206)
+FROZEN_PB_URL = ('http://download.tensorflow.org/models/image/imagenet/'
+                 'inception-2015-12-05.tgz')
+FROZEN_PB_NAME = 'classify_image_graph_def.pb'
+
+
+def frozen_pb_to_inception(pb_path: str, dtype=None):
+    """One-call loader: frozen pb -> ('fid'-flavor variables, num_classes).
+
+    num_classes comes from the graph's own softmax/weights (1008 in the
+    released export — the padded 2015 label set)."""
+    import jax
+    import jax.numpy as jnp
+
+    consts = load_frozen_graph_weights(pb_path)
+    if 'softmax/weights' not in consts:
+        raise KeyError(
+            '%s has no softmax/weights — not the 2015 inception export? '
+            'expected %s from %s' % (pb_path, FROZEN_PB_NAME, FROZEN_PB_URL))
+    num_classes = int(consts['softmax/weights'].shape[-1])
+    variables = random_inception_variables(
+        jax.random.PRNGKey(0), num_classes, flavor='fid')
+    variables = frozen_graph_to_flax(consts, variables)
+    return variables, num_classes
 
 
 # our module name -> torchvision top-level module name

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.inception_v3 import (
-    InceptionV3, make_inception, preprocess_uint8)
+    InceptionV3, make_inception, preprocess_frozen, preprocess_uint8)
 
 
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2,
@@ -56,39 +56,58 @@ def calculate_activation_statistics(
 
 
 class FIDScorer:
-    """pool_3 activation extractor + FID computation."""
+    """pool_3 activation extractor + FID computation.
+
+    ``flavor='fid'`` selects the frozen-2015-graph tower (the mixed_10
+    max-pool quirk) AND its exact input chain — legacy TF1 bilinear resize
+    + (x-128)/128 — which is what reference FID numbers are computed with
+    (fid.py:95 feeds 0..255 at 'ExpandDims:0', before the graph's own
+    resize/normalize ops). Build variables with
+    convert_tf.frozen_pb_to_inception, or use ``from_frozen_pb``.
+    """
 
     def __init__(self, variables, num_classes: int = 1000,
                  batch_size: int = 50, flavor: str = 'slim'):
         self.model = make_inception(num_classes, flavor)
         self.variables = variables
         self.batch_size = batch_size
+        self.frozen_input = flavor == 'fid'
 
-        def pool3(vars_, images01):
-            # The frozen FID graph takes [0, 255] uint8-style input; the
-            # slim preprocessing maps to [-1, 1].
-            _, ep = self.model.apply(vars_, images01)
+        def pool3(vars_, images):
+            # images: [0,255] floats; preprocessing runs on device.
+            x = (preprocess_frozen(images) if self.frozen_input
+                 else preprocess_uint8(images))
+            _, ep = self.model.apply(vars_, x)
             return ep['pool_3']
 
         self._pool3 = jax.jit(pool3)
+
+    @classmethod
+    def from_frozen_pb(cls, pb_path: str, batch_size: int = 50):
+        """The reference-faithful scorer: weights + semantics of
+        classify_image_graph_def.pb (fid.py:35-66)."""
+        from .convert_tf import frozen_pb_to_inception
+        variables, n = frozen_pb_to_inception(pb_path)
+        return cls(variables, n, batch_size, flavor='fid')
 
     def activations_uint8(self, images: np.ndarray) -> np.ndarray:
         """images: NHWC uint8 [0,255] -> [N, 2048] activations."""
         outs = []
         for i in range(0, len(images), self.batch_size):
-            batch = jnp.asarray(np.asarray(images[i:i + self.batch_size]))
-            outs.append(np.asarray(
-                self._pool3(self.variables, preprocess_uint8(batch))))
+            batch = jnp.asarray(
+                np.asarray(images[i:i + self.batch_size], np.float32))
+            outs.append(np.asarray(self._pool3(self.variables, batch)))
         return np.concatenate(outs, 0)
 
     def activations_gan(self, images) -> np.ndarray:
-        """images: NHWC in [-1, 1]."""
-        from ..models.inception_v3 import preprocess_gan_output
+        """images: NHWC in [-1, 1] (GAN output): mapped to the 0..255
+        domain the reference feeds FID with (its eval dumps PNGs and
+        reloads them, fid.py:208-219; quantization is negligible)."""
         outs = []
         for i in range(0, len(images), self.batch_size):
             batch = jnp.asarray(images[i:i + self.batch_size])
-            outs.append(np.asarray(
-                self._pool3(self.variables, preprocess_gan_output(batch))))
+            batch = (batch + 1.0) * 127.5
+            outs.append(np.asarray(self._pool3(self.variables, batch)))
         return np.concatenate(outs, 0)
 
     def statistics(self, images: np.ndarray, uint8: bool = True):

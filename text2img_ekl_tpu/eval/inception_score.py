@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.inception_v3 import (
-    InceptionV3, make_inception, preprocess_gan_output, preprocess_uint8)
+    InceptionV3, make_inception, preprocess_frozen, preprocess_gan_output,
+    preprocess_uint8)
 
 
 def compute_inception_score(predictions: np.ndarray,
@@ -71,10 +72,16 @@ class InceptionScorer:
         self.variables = variables
         self.finetuned = finetuned
         self.batch_size = batch_size
+        self.frozen_input = flavor == 'fid'
         self.predictions: List[Any] = []  # device-resident until score()
 
         def predict(vars_, images):
-            x = preprocess_gan_output(images)
+            if self.frozen_input:
+                # frozen-graph semantics: 0..255 input, legacy resize,
+                # (x-128)/128 (inception_score_general.py:78-99)
+                x = preprocess_frozen((images + 1.0) * 127.5)
+            else:
+                x = preprocess_gan_output(images)
             logits, _ = self.model.apply(vars_, x)
             if finetuned:
                 logits = logits[:, 1:]  # drop background class
@@ -82,25 +89,48 @@ class InceptionScorer:
 
         self._predict = jax.jit(predict)
 
+    @classmethod
+    def from_frozen_pb(cls, pb_path: str, batch_size: int = 64, dtype=None):
+        """General-IS scorer off classify_image_graph_def.pb — weights AND
+        input chain of inception_score_general.py (1008-way softmax, no
+        background slice, logits bias ignored)."""
+        from .convert_tf import frozen_pb_to_inception
+        variables, n = frozen_pb_to_inception(pb_path)
+        return cls(variables, n, finetuned=False, batch_size=batch_size,
+                   flavor='fid', dtype=dtype)
+
     def predict_batch(self, images) -> jnp.ndarray:
         """images: NHWC in [-1, 1] (GAN output)."""
         return self._predict(self.variables, images)
 
     def predict_uint8(self, images: np.ndarray) -> jnp.ndarray:
         """images: NHWC uint8 [0, 255] (directory eval path)."""
-        x = preprocess_uint8(jnp.asarray(images))
+        if self.frozen_input:
+            x = preprocess_frozen(jnp.asarray(images, jnp.float32))
+        else:
+            x = preprocess_uint8(jnp.asarray(images))
         logits, _ = self.model.apply(self.variables, x)
         if self.finetuned:
             logits = logits[:, 1:]
         return jax.nn.softmax(logits, axis=-1)
+
+    #: device-resident prediction rows held before spilling to host
+    #: (25k x 1008 f32 ~ 100 MB; normal gates score at 3000 and never
+    #: spill — this bounds HBM if score() is deferred for a long time)
+    SPILL_AFTER = 25000
 
     def add(self, images) -> None:
         """Queue one prediction batch WITHOUT a host sync: the [B, C]
         prob array stays device-resident until score() materializes it,
         so the gate never drains the training pipeline (a host fetch on
         the tunneled backend costs ~100 ms; measured ~125 ms/gate before
-        this, PERF.md)."""
+        this, PERF.md). Past SPILL_AFTER queued rows, everything spills
+        to host in one drain so HBM use stays bounded."""
         self.predictions.append(self.predict_batch(images))
+        n_dev = sum(p.shape[0] for p in self.predictions
+                    if not isinstance(p, np.ndarray))
+        if n_dev >= self.SPILL_AFTER:
+            self.predictions = [np.asarray(p) for p in self.predictions]
 
     @property
     def count(self) -> int:

@@ -161,10 +161,19 @@ class Mixed8Reduce(nn.Module):
 
 
 class Mixed8(nn.Module):
-    """8x8 inception block with split 3x3 branches (mixed_8x8x2048a/b)."""
+    """8x8 inception block with split 3x3 branches (mixed_8x8x2048a/b).
+
+    ``pool_max=True`` reproduces a quirk of the frozen 2015 ImageNet export
+    (the graph fid.py:35-66 / inception_score_general.py:56-99 import):
+    its LAST 8x8 block ('mixed_10') uses a 3x3 MAX pool in the pool branch
+    where every other variant of Inception-V3 (slim, keras, torchvision)
+    uses an average pool. FID parity with the reference depends on
+    matching that exact graph.
+    """
 
     bn_scale: bool = False
     torch_pool: bool = True
+    pool_max: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -180,7 +189,10 @@ class Mixed8(nn.Module):
         b2a = ConvBN(384, (1, 3), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_3a')(b2)
         b2b = ConvBN(384, (3, 1), bn_scale=self.bn_scale, dtype=d, name='branch3x3dbl_3b')(b2)
         b2 = jnp.concatenate([b2a, b2b], axis=-1)
-        b3 = _avg_pool(x, count_include_pad=self.torch_pool)
+        if self.pool_max:
+            b3 = _max_pool(x, 3, 1, 'SAME')
+        else:
+            b3 = _avg_pool(x, count_include_pad=self.torch_pool)
         b3 = ConvBN(192, (1, 1), bn_scale=self.bn_scale, dtype=d, name='branch_pool')(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -191,6 +203,7 @@ class InceptionV3(nn.Module):
     num_classes: int = 1000
     bn_scale: bool = False
     torch_pool: bool = True
+    last_pool_max: bool = False  # 'mixed_10' max-pool quirk, see Mixed8
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -217,7 +230,8 @@ class InceptionV3(nn.Module):
         ep['mixed_17x17x768e'] = x
         x = Mixed8Reduce(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x1280a')(x)
         x = Mixed8(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x2048a')(x)
-        x = Mixed8(bn_scale=self.bn_scale, torch_pool=self.torch_pool, dtype=d, name='mixed_8x8x2048b')(x)
+        x = Mixed8(bn_scale=self.bn_scale, torch_pool=self.torch_pool,
+                   pool_max=self.last_pool_max, dtype=d, name='mixed_8x8x2048b')(x)
         # Global average pool == slim's 8x8 avg pool at 299 input; adaptive
         # for other input sizes (the frozen FID graph is also adaptive).
         x = jnp.mean(x, axis=(1, 2))
@@ -238,6 +252,10 @@ def make_inception(num_classes: int = 1000, flavor: str = 'slim',
               FID/general-IS graphs.
     'torch' — torchvision semantics (BN scale, border-inclusive avg pools):
               the in-process general-IS model (reference model.py:18-47).
+    'fid'   — the frozen 2015 ImageNet export exactly: slim semantics plus
+              the 'mixed_10' max-pool quirk (see Mixed8.pool_max); the graph
+              fid.py and inception_score_general.py run on. Use with
+              preprocess_frozen and eval/convert_tf.frozen_graph_to_flax.
     """
     if flavor == 'slim':
         return InceptionV3(num_classes=num_classes, bn_scale=False,
@@ -245,6 +263,9 @@ def make_inception(num_classes: int = 1000, flavor: str = 'slim',
     if flavor == 'torch':
         return InceptionV3(num_classes=num_classes, bn_scale=True,
                            torch_pool=True, dtype=dtype)
+    if flavor == 'fid':
+        return InceptionV3(num_classes=num_classes, bn_scale=False,
+                           torch_pool=False, last_pool_max=True, dtype=dtype)
     raise ValueError(flavor)
 
 
@@ -259,6 +280,56 @@ def preprocess_uint8(images: jnp.ndarray) -> jnp.ndarray:
         x = jax.image.resize(
             x, (x.shape[0], 299, 299, x.shape[3]), method='bilinear')
     return x * (2.0 / 255.0) - 1.0
+
+
+def _resize_axis_legacy(x, axis: int, out_size: int):
+    """One axis of TF1 ResizeBilinear: output i samples input i*in/out
+    (f32 position arithmetic, as the TF kernel computes it), 2-tap lerp
+    with the upper tap clamped to the last row/col."""
+    import numpy as np
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = np.float32(in_size / out_size)
+    pos = np.arange(out_size, dtype=np.float32) * scale
+    lo = np.floor(pos).astype(np.int32)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (pos - lo).astype(np.float32)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    xlo = jnp.take(x, lo, axis=axis)
+    xhi = jnp.take(x, hi, axis=axis)
+    return xlo + (xhi - xlo) * jnp.asarray(frac).reshape(shape)
+
+
+def resize_bilinear_tf1(images: jnp.ndarray, size=(299, 299)) -> jnp.ndarray:
+    """TF1 legacy ResizeBilinear (align_corners=False,
+    half_pixel_centers=False), the resize baked into the frozen 2015 graph
+    right after its input (feed point 'ExpandDims:0', fid.py:95 /
+    inception_score_general.py:78-81).
+
+    Output pixel i samples input coordinate i * in/out — no half-pixel
+    shift and no antialiasing, unlike jax.image.resize's 'bilinear' (and
+    not expressible with jax.image.scale_and_translate, which zeroes
+    output taps past in-0.5 where TF clamps). Implemented as a separable
+    static gather + lerp; index/fraction math is done in the same f32
+    arithmetic as the TF kernel, at trace time.
+    """
+    x = images.astype(jnp.float32)
+    x = _resize_axis_legacy(x, 1, size[0])
+    x = _resize_axis_legacy(x, 2, size[1])
+    return x
+
+
+def preprocess_frozen(images: jnp.ndarray) -> jnp.ndarray:
+    """[0,255] float/uint8 HWC batch -> the frozen graph's conv input.
+
+    The 2015 graph normalizes (x - 128) * 0.0078125 after its legacy
+    bilinear resize; both FID (fid.py:95) and general IS
+    (inception_score_general.py:78) feed 0..255 images at that point.
+    """
+    x = resize_bilinear_tf1(images.astype(jnp.float32))
+    return (x - 128.0) * 0.0078125
 
 
 def preprocess_gan_output(images: jnp.ndarray) -> jnp.ndarray:
