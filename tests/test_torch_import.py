@@ -13,6 +13,7 @@ import pytest
 
 import flax
 import jax
+import jax.numpy as jnp
 
 from text2img_ekl_tpu.config import cfg_from_file
 from text2img_ekl_tpu.io_utils.torch_import import (
@@ -192,3 +193,189 @@ def test_pth_file_loading(flagship_g, tmp_path):
     np.testing.assert_array_equal(
         flat[('params', 'h_net1', 'fc_cap', 'weight')],
         sd['module.h_net1.fc_cap.1.weight'].numpy())
+
+
+# ---------------------------------------------------------------------------
+# JOINT_D_NET import (TRAIN.NET_D): hand-derived key tables transcribed from
+# model.py:918-977 (64px) and :1054-1121 (128px), independent of the
+# importer's own mapping.
+
+from text2img_ekl_tpu.io_utils.torch_import import (  # noqa: E402
+    torch_joint_d_to_flax, _flax_path_to_torch_joint_d)
+
+
+def _joint_d_torch_keys(imsize, ndf=8, efg=256, entity=200, use_cap=True):
+    keys = {}
+
+    def bn(prefix, n):
+        keys['%s.weight' % prefix] = (n,)
+        keys['%s.bias' % prefix] = (n,)
+        keys['%s.running_mean' % prefix] = (n,)
+        keys['%s.running_var' % prefix] = (n,)
+        keys['%s.num_batches_tracked' % prefix] = ()
+
+    # encode_image_by_16times: convs at .0/.2/.5/.8, BN at .3/.6/.9
+    # (model.py:832-850)
+    keys['img_code_s16.0.weight'] = (ndf, 3, 4, 4)
+    keys['img_code_s16.2.weight'] = (ndf * 2, ndf, 4, 4)
+    bn('img_code_s16.3', ndf * 2)
+    keys['img_code_s16.5.weight'] = (ndf * 4, ndf * 2, 4, 4)
+    bn('img_code_s16.6', ndf * 4)
+    keys['img_code_s16.8.weight'] = (ndf * 8, ndf * 4, 4, 4)
+    bn('img_code_s16.9', ndf * 8)
+    if imsize >= 128:  # downBlock + squeeze (model.py:1068-1070)
+        keys['img_code_s32.0.weight'] = (ndf * 16, ndf * 8, 4, 4)
+        bn('img_code_s32.1', ndf * 16)
+        keys['img_code_s32_1.0.weight'] = (ndf * 8, ndf * 16, 3, 3)
+        bn('img_code_s32_1.1', ndf * 8)
+    keys['jointConv.0.weight'] = (ndf * 8, ndf * 8 + efg, 3, 3)
+    bn('jointConv.1', ndf * 8)
+    keys['logits.0.weight'] = (1, ndf * 8, 4, 4)
+    keys['logits.0.bias'] = (1,)
+    keys['uncond_logits.0.weight'] = (1, ndf * 8, 4, 4)
+    keys['uncond_logits.0.bias'] = (1,)
+    if use_cap:  # CapsuleLinear [out_caps, out_len, in_len] (model.py:941-944)
+        keys['fc_ac_cap.0.weight'] = (entity + 1, 16, ndf * 8)
+    else:
+        keys['fc_ac.weight'] = (entity + 1, ndf * 8 * 16)
+        keys['fc_ac.bias'] = (entity + 1,)
+    return keys
+
+
+@pytest.fixture(scope='module')
+def flagship_d():
+    cfg = cfg_from_file(REF_CFG)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                               cond_code_width(cfg))
+    d_vars = [{'params': p, 'batch_stats': s}
+              for p, s in zip(state.d_params, state.d_batch_stats)]
+    return cfg, Ds, d_vars
+
+
+@pytest.mark.parametrize('imsize', [64, 128])
+def test_joint_d_mapping_is_a_bijection(flagship_d, imsize):
+    cfg, Ds, d_vars = flagship_d
+    ix = {64: 0, 128: 1}[imsize]
+    expected = {k for k in _joint_d_torch_keys(imsize, use_cap=True)
+                if not k.endswith('num_batches_tracked')}
+    mapped = set()
+    for path in flax.traverse_util.flatten_dict(d_vars[ix]):
+        mapped.add(_flax_path_to_torch_joint_d(path, imsize))
+    assert mapped == expected, (
+        'only-in-mapped: %s; only-in-reference: %s'
+        % (sorted(mapped - expected)[:8], sorted(expected - mapped)[:8]))
+
+
+def test_joint_d_roundtrip_values_and_forward(flagship_d):
+    torch = pytest.importorskip('torch')
+    cfg, Ds, d_vars = flagship_d
+    rs = np.random.RandomState(3)
+    sd = {}
+    for k, shape in _joint_d_torch_keys(128, use_cap=True).items():
+        if k.endswith('num_batches_tracked'):
+            sd['module.' + k] = torch.tensor(0)
+            continue
+        val = rs.randn(*shape).astype('float32') * 0.05
+        if k.endswith('running_var'):
+            val = np.abs(val) + 1.0
+        sd['module.' + k] = torch.tensor(val)
+
+    out = torch_joint_d_to_flax(sd, d_vars[1], imsize=128)
+    flat = flax.traverse_util.flatten_dict(out)
+    # conv OIHW -> HWIO
+    k0 = flat[('params', 'tower', 'encode16', 'Conv4x4s2_0', 'Conv_0',
+               'kernel')]
+    np.testing.assert_array_equal(
+        k0, sd['module.img_code_s16.0.weight'].numpy().transpose(2, 3, 1, 0))
+    # squeeze block BN stats -> batch_stats
+    var = flat[('batch_stats', 'tower', 'squeezes_0',
+                'BatchNorm_0', 'BatchNorm_0', 'var')]
+    np.testing.assert_array_equal(
+        var, sd['module.img_code_s32_1.1.running_var'].numpy())
+    # capsule classifier weight: identical layout
+    cap = flat[('params', 'fc_ac_cap', 'weight')]
+    np.testing.assert_array_equal(
+        cap, sd['module.fc_ac_cap.0.weight'].numpy())
+
+    # converted D runs end to end
+    import jax.numpy as jnp
+    B = 2
+    img = jnp.zeros((B, 128, 128, 3))
+    cond = jnp.zeros((B, 256))
+    outs = jax.jit(lambda v, i, c: Ds[1].apply(v, i, c, train=False))(
+        out, img, cond)
+    assert outs[0].shape == (B,) and outs[1].shape == (B,)
+    assert outs[2].shape == (B, cfg.GAN.ENTITY_DIM + 1)
+    assert bool(jnp.all(jnp.isfinite(outs[2])))
+
+
+def test_joint_d_fc_ac_flatten_permutation():
+    """The fc_ac kernel permute makes the NHWC-flatten linear layer compute
+    the reference's NCHW-flatten function exactly."""
+    torch = pytest.importorskip('torch')
+    from text2img_ekl_tpu.config import cfg_from_file as _cff
+    cfg = _cff(REF_CFG)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TRAIN.D_CAPSULE = False  # Linear classifier variant
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    D = Ds[0]
+    v = jax.jit(lambda k: D.init({'params': k},
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jnp.zeros((1, 256)), train=True))(
+        jax.random.PRNGKey(0))
+    rs = np.random.RandomState(5)
+    sd = {}
+    for k, shape in _joint_d_torch_keys(64, use_cap=False).items():
+        if k.endswith('num_batches_tracked'):
+            sd[k] = torch.tensor(0)
+            continue
+        val = rs.randn(*shape).astype('float32') * 0.05
+        if k.endswith('running_var'):
+            val = np.abs(val) + 1.0
+        sd[k] = torch.tensor(val)
+    out = torch_joint_d_to_flax(sd, v, imsize=64)
+    flat = flax.traverse_util.flatten_dict(out)
+    K = flat[('params', 'fc_ac', 'Dense_0', 'Dense_0', 'kernel')] \
+        if ('params', 'fc_ac', 'Dense_0', 'Dense_0', 'kernel') in flat \
+        else flat[('params', 'fc_ac', 'Dense_0', 'kernel')]
+    W = sd['fc_ac.weight'].numpy()          # [201, C*16], NCHW flatten
+    b = sd['fc_ac.bias'].numpy()
+    C = 64
+    x_nchw = rs.randn(2, C, 4, 4).astype('float32')
+    y_ref = x_nchw.reshape(2, -1) @ W.T + b
+    x_nhwc = x_nchw.transpose(0, 2, 3, 1)
+    y_ours = x_nhwc.reshape(2, -1) @ np.asarray(K) + b
+    np.testing.assert_allclose(y_ours, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_load_torch_discriminator_file(flagship_d, tmp_path):
+    torch = pytest.importorskip('torch')
+    from text2img_ekl_tpu.io_utils.torch_import import \
+        load_torch_discriminator
+    cfg, Ds, d_vars = flagship_d
+    rs = np.random.RandomState(7)
+    for i, imsize in enumerate((64, 128)):
+        sd = {}
+        for k, shape in _joint_d_torch_keys(imsize, use_cap=True).items():
+            if k.endswith('num_batches_tracked'):
+                sd['module.' + k] = torch.tensor(0)
+                continue
+            val = rs.randn(*shape).astype('float32') * 0.05
+            if k.endswith('running_var'):
+                val = np.abs(val) + 1.0
+            sd['module.' + k] = torch.tensor(val)
+        p = str(tmp_path / ('netD%d.pth' % i))
+        torch.save(sd, p)
+        out = load_torch_discriminator(p, d_vars[i], imsize)
+        flat = flax.traverse_util.flatten_dict(out)
+        np.testing.assert_array_equal(
+            flat[('params', 'fc_ac_cap', 'weight')],
+            sd['module.fc_ac_cap.0.weight'].numpy())

@@ -176,3 +176,142 @@ def load_torch_generator(pth_path: str, flax_variables: Dict[str, Any]):
 
     sd = torch.load(pth_path, map_location='cpu', weights_only=True)
     return torch_generator_to_flax(sd, flax_variables)
+
+
+# ---------------------------------------------------------------------------
+# JOINT_D_NET .pth import (TRAIN.NET_D resume): the reference restores each
+# joint discriminator from '%s%d.pth' % (NET_D, i)
+# (cub_trainer_splitz_cap_ca.py:179-184). Torch module tree
+# (model.py:918-977 / 1054-1121 / 1206-1256):
+#
+#   img_code_s16         Sequential(conv,lrelu, conv,BN,lrelu, conv,BN,lrelu,
+#                        conv,BN,lrelu) -> convs at 0,2,5,8; BN at 3,6,9
+#   img_code_s32[/s64]   downBlock: conv at .0, BN at .1      (128/256px)
+#   img_code_s32_1       Block3x3_leakRelu: conv .0, BN .1    (128px)
+#   img_code_s64_1/_2    two squeeze blocks                    (256px)
+#   jointConv            Block3x3_leakRelu: conv .0, BN .1
+#   logits / uncond_logits  Sequential(Conv2d 4x4 s4, Sigmoid): .0.{weight,bias}
+#   fc_ac                Linear(8ndf*4*4 -> ENTITY+1)  — NCHW flatten order!
+#   fc_ac_cap            Sequential(CapsuleLinear): .0.weight
+#                        [out_caps, out_len, in_len], identical layout here.
+
+_ENC_CONV_IX = [0, 2, 5, 8]
+_ENC_BN_IX = [None, 3, 6, 9]
+
+
+def _joint_d_squeeze_names(imsize: int):
+    """Torch scope names of the channel-squeeze blocks past the tower."""
+    return {64: [], 128: ['img_code_s32_1'],
+            256: ['img_code_s64_1', 'img_code_s64_2']}[imsize]
+
+
+def _flax_path_to_torch_joint_d(path, imsize: int) -> str:
+    parts = [str(p) for p in path if str(p) not in ('params', 'batch_stats')]
+    leaf = parts[-1]
+    mods = parts[:-1]
+    top = mods[0]
+
+    def bn_key(prefix):
+        return '%s.%s' % (prefix, _BN_LEAF[leaf])
+
+    if top == 'tower':
+        sub = mods[1]
+        if sub == 'encode16':
+            if mods[2].startswith('Conv4x4s2'):
+                # the bare first conv (Conv4x4s2_0) or inside DownBlock
+                return 'img_code_s16.0.weight'
+            k = int(mods[2].split('_')[1]) + 1  # DownBlock_0 -> 2nd conv
+            if mods[3].startswith('Conv'):
+                return 'img_code_s16.%d.weight' % _ENC_CONV_IX[k]
+            return bn_key('img_code_s16.%d' % _ENC_BN_IX[k])
+        if sub.startswith('downs_'):
+            i = int(sub.split('_')[1])
+            scope = 'img_code_s%d' % (32 << i)
+            if mods[2].startswith('Conv'):
+                return '%s.0.weight' % scope
+            return bn_key('%s.1' % scope)
+        if sub.startswith('squeezes_'):
+            j = int(sub.split('_')[1])
+            scope = _joint_d_squeeze_names(imsize)[j]
+            if mods[2].startswith('Conv3x3'):
+                return '%s.0.weight' % scope
+            return bn_key('%s.1' % scope)
+        raise KeyError('no torch mapping for %r' % (path,))
+    if top == 'jointConv':
+        if mods[1].startswith('Conv3x3'):
+            return 'jointConv.0.weight'
+        return bn_key('jointConv.1')
+    if top in ('logits', 'uncond_logits'):
+        return '%s.0.%s' % (top, {'kernel': 'weight', 'bias': 'bias'}[leaf])
+    if top == 'fc_ac':
+        return 'fc_ac.%s' % ({'kernel': 'weight', 'bias': 'bias'}[leaf])
+    if top == 'fc_ac_cap':
+        return 'fc_ac_cap.0.weight'
+    raise KeyError('no torch mapping for %r' % (path,))
+
+
+def torch_joint_d_to_flax(state_dict: Dict[str, Any],
+                          flax_variables: Dict[str, Any],
+                          imsize: int) -> Dict[str, Any]:
+    """Convert a reference netD<i> state_dict onto our JointDNet tree.
+
+    Tensor transforms as in the generator importer, plus one layout fix:
+    ``fc_ac.weight`` is a Linear over the NCHW flatten of the 4x4 code
+    (model.py:972-973, index c*16+s) while our NHWC flatten is s*C+c — the
+    kernel's input axis is permuted accordingly so the imported layer
+    computes the identical function.
+    """
+    import flax
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        if k.endswith('num_batches_tracked'):
+            continue
+        sd[k] = np.asarray(getattr(v, 'numpy', lambda: v)())
+
+    flat = flax.traverse_util.flatten_dict(flax_variables)
+    new = {}
+    used = set()
+    missing = []
+    for path, val in flat.items():
+        parts = [str(p) for p in path if str(p) not in ('params',
+                                                        'batch_stats')]
+        leaf = parts[-1]
+        key = _flax_path_to_torch_joint_d(path, imsize)
+        if key not in sd:
+            missing.append('%s -> %s' % ('/'.join(parts), key))
+            new[path] = val
+            continue
+        src = sd[key]
+        used.add(key)
+        if parts[0] == 'fc_ac' and leaf == 'kernel':
+            out, cs = src.shape            # [ENTITY+1, C*16]
+            c = cs // 16
+            src = src.reshape(out, c, 16).transpose(2, 1, 0).reshape(cs, out)
+        elif leaf == 'kernel' and src.ndim == 4:
+            src = src.transpose(2, 3, 1, 0)        # OIHW -> HWIO
+        elif leaf == 'kernel' and src.ndim == 2:
+            src = src.T                            # [out,in] -> [in,out]
+        if src.shape != tuple(val.shape):
+            raise ValueError('shape mismatch at %s (%s): %s vs %s'
+                             % ('/'.join(parts), key, src.shape, val.shape))
+        new[path] = src.astype(np.float32)
+    if missing:
+        raise KeyError('unmapped discriminator params: %s' % missing[:20])
+    unused = sorted(set(sd) - used)
+    if unused:
+        print('!! torch D import: %d unused checkpoint entries (e.g. %s)'
+              % (len(unused), unused[:5]))
+    return flax.traverse_util.unflatten_dict(new)
+
+
+def load_torch_discriminator(pth_path: str, flax_variables: Dict[str, Any],
+                             imsize: int):
+    """Load a reference netD<i>.pth and convert for a JointDNet at
+    ``imsize``."""
+    import torch
+
+    sd = torch.load(pth_path, map_location='cpu', weights_only=True)
+    return torch_joint_d_to_flax(sd, flax_variables, imsize)

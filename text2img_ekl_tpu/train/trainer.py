@@ -173,6 +173,13 @@ class CondGANTrainer:
                 start_epoch = int(np.asarray(state.step)) // max(
                     1, self.num_batches)
                 print('Resumed from %s (epoch %d)' % (latest, start_epoch))
+        if cfg.TRAIN.NET_D:
+            # Reference load_network restores each JOINT_D from
+            # '%s%d.pth' % (NET_D, i) (cub_trainer_splitz_cap_ca.py:179-184)
+            # — without this, resuming a reference run restarts all Ds from
+            # scratch, which materially changes a GAN's trajectory.
+            state = self._place_state(
+                self._load_pth_discriminators(cfg.TRAIN.NET_D, state))
         step_fn = make_train_step(cfg, self.G, self.Ds, self.mesh)
 
         scorer = self._make_is_scorer() if not cfg.TRAIN.BIG_EVAL else None
@@ -330,6 +337,24 @@ class CondGANTrainer:
             'params': state.g_params, 'batch_stats': state.g_batch_stats})
         return state.replace(g_params=g_vars['params'],
                              g_batch_stats=g_vars['batch_stats'])
+
+    def _load_pth_discriminators(self, net_d_prefix: str, state):
+        """Reference netD<i>.pth snapshots -> our JointDNet params/BN stats
+        (one file per branch, '%s%d.pth', cub_trainer:179-184)."""
+        from ..io_utils.torch_import import load_torch_discriminator
+        sizes = self.cfg.branch_sizes()
+        d_params = list(state.d_params)
+        d_stats = list(state.d_batch_stats)
+        for i in range(len(self.Ds)):
+            path = '%s%d.pth' % (net_d_prefix, i)
+            d_vars = load_torch_discriminator(
+                path, {'params': d_params[i], 'batch_stats': d_stats[i]},
+                sizes[i])
+            d_params[i] = d_vars['params']
+            d_stats[i] = d_vars['batch_stats']
+            print('Load D from: %s' % path)
+        return state.replace(d_params=tuple(d_params),
+                             d_batch_stats=tuple(d_stats))
 
     def _place_state(self, state):
         """Re-place restored arrays for the mesh: replicated on multi-device
