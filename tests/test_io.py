@@ -151,3 +151,82 @@ def test_checkpoint_roundtrip_sharded_adam(tmp_path):
     restored, metrics, _ = step(restored, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics['errG']))
     assert int(restored.step) == 2
+
+
+def test_zero1_checkpoint_topology_migration(tmp_path):
+    """ZeRO-1 checkpoints are NOT topology-locked: moments saved on the
+    8-device mesh restore onto a 4-device mesh, a 1-device/replicated
+    state, and a replicated save restores into the sharded format —
+    bit-equal after unpadding (train/state.migrate_opt_state via the
+    tolerant restore in io_utils/checkpoint.py)."""
+    import jax
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.parallel import make_mesh, shard_batch
+    from text2img_ekl_tpu.train import create_train_state, make_train_step
+    from text2img_ekl_tpu.train.state import _opt_moment_vectors
+    from text2img_ekl_tpu.train.step import (
+        cond_code_width, make_synthetic_batch)
+
+    def make(n_dev, sharded):
+        cfg = cfg_from_file(
+            '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+        cfg.GAN.GF_DIM = 8
+        cfg.GAN.DF_DIM = 8
+        cfg.TPU_COMPUTE_DTYPE = 'float32'
+        cfg.TPU_CAPSULE_PALLAS = False
+        cfg.TPU_SHARDED_ADAM = sharded
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        G = build_generator(cfg)
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                   cond_code_width(cfg), mesh=mesh)
+        return cfg, mesh, G, Ds, state
+
+    # train one sharded step on 8 devices so the moments are non-trivial
+    cfg8, mesh8, G, Ds, state8 = make(8, True)
+    step = make_train_step(cfg8, G, Ds, mesh8)
+    batch = shard_batch(mesh8, make_synthetic_batch(cfg8, 16))
+    state8, metrics, _ = step(state8, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['errG']))
+    mgr = CheckpointManager(str(tmp_path / 'M8'))
+    mgr.save(state8, epoch=1)
+    params8 = state8.g_params
+    _, mu_ref, nu_ref = _opt_moment_vectors(state8.g_opt_state, params8)
+
+    # 8-dev sharded -> 4-dev sharded
+    _, _, _, _, tgt4 = make(4, True)
+    r4 = mgr.restore(tgt4)
+    _, mu4, nu4 = _opt_moment_vectors(r4.g_opt_state, r4.g_params)
+    np.testing.assert_array_equal(mu4, mu_ref)
+    np.testing.assert_array_equal(nu4, nu_ref)
+
+    # 8-dev sharded -> replicated (1-dev / flag off)
+    _, _, _, _, tgt1 = make(1, False)
+    r1 = mgr.restore(tgt1)
+    _, mu1, nu1 = _opt_moment_vectors(r1.g_opt_state, r1.g_params)
+    np.testing.assert_array_equal(mu1, mu_ref)
+    np.testing.assert_array_equal(nu1, nu_ref)
+    # D opt states migrated too
+    _, dmu_ref, _ = _opt_moment_vectors(state8.d_opt_states[0],
+                                        state8.d_params[0])
+    _, dmu1, _ = _opt_moment_vectors(r1.d_opt_states[0], r1.d_params[0])
+    np.testing.assert_array_equal(dmu1, dmu_ref)
+
+    # replicated save -> 8-dev sharded restore (flag flip the other way)
+    mgr1 = CheckpointManager(str(tmp_path / 'M1'))
+    mgr1.save(r1, epoch=2)
+    _, _, _, _, tgt8 = make(8, True)
+    r8 = mgr1.restore(tgt8)
+    _, mu8, nu8 = _opt_moment_vectors(r8.g_opt_state, r8.g_params)
+    np.testing.assert_array_equal(mu8, mu_ref)
+    np.testing.assert_array_equal(nu8, nu_ref)
+
+    # and the migrated state trains on the new topology
+    cfg4, mesh4, G4, Ds4, _ = make(4, True)
+    from text2img_ekl_tpu.train.state import place_state_on_mesh
+    r4p = place_state_on_mesh(cfg4, mesh4, r4)
+    step4 = make_train_step(cfg4, G4, Ds4, mesh4)
+    batch4 = shard_batch(mesh4, make_synthetic_batch(cfg4, 8))
+    r4p, m4, _ = step4(r4p, batch4, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m4['errG']))

@@ -123,9 +123,13 @@ class Config:
     # --- TPU-native extensions (not present in the reference schema) ---
     # Compute dtype for conv/matmul ('bfloat16' or 'float32').
     TPU_COMPUTE_DTYPE: str = 'bfloat16'
-    # BatchNorm compute dtype: 'float32' (reference-faithful) or 'bfloat16'
-    # (halves BN-boundary HBM traffic; TPU reductions accumulate f32).
-    TPU_BN_DTYPE: str = 'float32'
+    # BatchNorm IO dtype. 'bfloat16' halves BN-boundary HBM traffic (+14%
+    # step throughput); reductions/statistics accumulate in f32 either way.
+    # Default flipped to bfloat16 in round 3 on the trajectory-statistics
+    # evidence (tools/bn_dtype_convergence.py, PERF.md: matching loss bands
+    # and means over 200 same-seed steps, spikes self-recover in both).
+    # Set 'float32' for bit-faithful reference BN numerics.
+    TPU_BN_DTYPE: str = 'bfloat16'
     # Number of data-parallel shards ('auto' = all local devices).
     TPU_DATA_PARALLEL: int = 0  # 0 => use every available device
     # Multi-device SPMD strategy: 'shard_map' (hand-SPMD, per-replica
@@ -149,11 +153,12 @@ class Config:
     # into per-device shards, Adam runs on 1/N of the moments per device,
     # updated deltas all_gather back — optimizer state holds one global
     # copy sharded over the data axis instead of N replicas. Numerically
-    # equivalent to replicated Adam (tested on the virtual mesh); changes
-    # the optimizer-state pytree shape, so checkpoints don't interchange
-    # across this flag — NOR across mesh sizes (the moment vectors are
-    # padded to the device count): resume on the same topology, or write
-    # a repad migration first.
+    # equivalent to replicated Adam (tested on the virtual mesh). The
+    # optimizer-state pytree shape depends on the topology (flat moments
+    # padded to the device count), but checkpoints interchange freely:
+    # restore auto-migrates the moments across mesh sizes and across this
+    # flag (io_utils/checkpoint.restore_train_state ->
+    # train/state.migrate_opt_state, bit-exact modulo padding).
     TPU_SHARDED_ADAM: bool = False
     # NextStageG joint conv: True = tile-free exact rewrite of the
     # condition concat (default; +8.6% on the flagship step, PERF.md);

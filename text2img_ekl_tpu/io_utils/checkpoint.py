@@ -28,9 +28,64 @@ def save_train_state(path: str, state) -> None:
 
 def restore_train_state(path: str, target):
     """Restore into the structure of ``target`` (an abstract or concrete
-    TrainState)."""
+    TrainState).
+
+    If the strict restore fails because the checkpoint was written under a
+    different ZeRO-1 topology (TPU_SHARDED_ADAM moment vectors are padded
+    to the device count, so their length depends on the mesh; or the flag
+    was flipped since), the checkpoint is re-read raw and the optimizer
+    moments are migrated bit-exactly (train/state.migrate_opt_state)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(_abspath(path), target=target)
+    try:
+        return ckptr.restore(_abspath(path), target=target)
+    except Exception as e:  # shape/structure mismatch -> topology migration
+        if not hasattr(target, 'g_opt_state'):
+            raise
+        try:
+            return _restore_migrating_topology(path, target)
+        except Exception as e2:
+            raise RuntimeError(
+                'checkpoint restore failed (%s) and topology migration '
+                'also failed (%s)' % (e, e2)) from e
+
+
+def _restore_migrating_topology(path: str, target):
+    import jax
+
+    from ..train.state import migrate_opt_state
+
+    raw = ocp.StandardCheckpointer().restore(_abspath(path))
+
+    def refit(raw_sub, tgt_sub):
+        """Same logical structure, possibly list-vs-tuple / dict-vs-class
+        containers after a raw restore: refit leaves onto the target's
+        treedef."""
+        return jax.tree.unflatten(jax.tree.structure(tgt_sub),
+                                  jax.tree.leaves(raw_sub))
+
+    g_params = refit(raw['g_params'], target.g_params)
+    d_params = tuple(refit(r, t) for r, t in zip(raw['d_params'],
+                                                 target.d_params))
+    out = target.replace(
+        step=jax.numpy.asarray(raw['step']),
+        g_params=g_params,
+        g_batch_stats=refit(raw['g_batch_stats'], target.g_batch_stats),
+        g_opt_state=migrate_opt_state(raw['g_opt_state'],
+                                      target.g_opt_state, g_params),
+        d_params=d_params,
+        d_batch_stats=tuple(refit(r, t) for r, t in zip(
+            raw['d_batch_stats'], target.d_batch_stats)),
+        d_opt_states=tuple(
+            migrate_opt_state(r, t, p) for r, t, p in zip(
+                raw['d_opt_states'], target.d_opt_states, d_params)),
+    )
+    if raw.get('g_ema_params') is not None and \
+            target.g_ema_params is not None:
+        out = out.replace(g_ema_params=refit(raw['g_ema_params'],
+                                             target.g_ema_params))
+    print('!! checkpoint written under a different ZeRO-1 topology — '
+          'optimizer moments migrated (unpad -> repad) for this mesh')
+    return out
 
 
 def parse_epoch_from_path(path: str) -> int:

@@ -87,6 +87,71 @@ def place_state_on_mesh(cfg, mesh, state: TrainState) -> TrainState:
         d_opt_states=tuple(place_opt(o) for o in state.d_opt_states))
 
 
+def _opt_moment_vectors(opt_state, params):
+    """Canonical (count, mu_flat, nu_flat) from an Adam state in EITHER
+    format — replicated tree (mu/nu shaped like params) or ZeRO-1 global
+    flat vectors padded to some device count. Works on raw orbax restores
+    (nested dicts/lists) as well as live optax states: tree leaves come
+    out in (count, mu..., nu...) order either way (NamedTuple field order
+    == sorted dict keys for ScaleByAdamState)."""
+    import numpy as np
+    leaves = [np.asarray(l) for l in jax.tree.leaves(opt_state)]
+    scalars = [l for l in leaves if l.ndim == 0]
+    arrs = [l for l in leaves if l.ndim >= 1]
+    pleaves = jax.tree.leaves(params)
+    true_size = sum(int(np.prod(l.shape)) for l in pleaves)
+    if (len(arrs) == 2 and len(pleaves) != 2
+            and all(a.ndim == 1 and a.size >= true_size for a in arrs)):
+        mu, nu = arrs[0][:true_size], arrs[1][:true_size]
+    else:
+        n = len(pleaves)
+        assert len(arrs) == 2 * n, (len(arrs), n)
+        mu = np.concatenate([a.ravel() for a in arrs[:n]])
+        nu = np.concatenate([a.ravel() for a in arrs[n:]])
+        assert mu.size == true_size
+    return scalars[0], mu, nu
+
+
+def migrate_opt_state(raw_opt, target_opt, params):
+    """Adapt an Adam state saved under a DIFFERENT ZeRO-1 topology (other
+    mesh size, or TPU_SHARDED_ADAM flipped) to the current format.
+
+    The flat moment vectors are padded to the device count at save time,
+    so a checkpoint is otherwise topology-locked; this unpads to the true
+    parameter size and re-pads (or un/re-ravels for flag flips). Moments
+    are preserved bit-exactly modulo the zero padding.
+    """
+    import numpy as np
+    count, mu, nu = _opt_moment_vectors(raw_opt, params)
+    tgt_leaves, treedef = jax.tree.flatten(target_opt)
+    pleaves = jax.tree.leaves(params)
+    arr_ix = [i for i, l in enumerate(tgt_leaves)
+              if getattr(l, 'ndim', 0) >= 1]
+    new = list(tgt_leaves)
+    for i, l in enumerate(tgt_leaves):
+        if getattr(l, 'ndim', 0) == 0:
+            new[i] = jnp.asarray(count, l.dtype)
+    if len(arr_ix) == 2 and len(pleaves) != 2:  # target: flat ZeRO-1
+        padded = int(tgt_leaves[arr_ix[0]].size)
+        for ix, vec in zip(arr_ix, (mu, nu)):
+            new[ix] = jnp.asarray(
+                np.pad(vec, (0, padded - vec.size)),
+                tgt_leaves[ix].dtype)
+    else:  # target: replicated tree — split per params leaf, in order
+        n = len(pleaves)
+        assert len(arr_ix) == 2 * n
+        sizes = [int(np.prod(l.shape)) for l in pleaves]
+        offs = np.cumsum([0] + sizes)
+        for half, vec in ((0, mu), (1, nu)):
+            for j in range(n):
+                ix = arr_ix[half * n + j]
+                new[ix] = jnp.asarray(
+                    vec[offs[j]:offs[j + 1]].reshape(
+                        tgt_leaves[ix].shape),
+                    tgt_leaves[ix].dtype)
+    return jax.tree.unflatten(treedef, new)
+
+
 def create_train_state(cfg, G, Ds, rng, cond_width: int,
                        mesh=None) -> TrainState:
     """Initialize G/D variables and optimizer states for a config.

@@ -117,7 +117,16 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         flatp = jnp.pad(flat, (0, pad))
         gshard = jax.lax.psum_scatter(
             flatp, DATA_AXIS, scatter_dimension=0, tiled=True) / n_shards
-        ushard, new_opt = tx.update(gshard, opt_state)
+        # The matching flat params shard: plain adam ignores it (XLA DCEs
+        # the ravel+slice), but a params-dependent transform (e.g. adamw
+        # weight decay) would otherwise silently compute wrong updates on
+        # this path while the replicated path stays right.
+        pflat, _ = ravel_pytree(params)
+        pshard = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(pflat, (0, pad)),
+            jax.lax.axis_index(DATA_AXIS) * (flatp.size // n_shards),
+            flatp.size // n_shards)
+        ushard, new_opt = tx.update(gshard, opt_state, pshard)
         ufull = jax.lax.all_gather(ushard, DATA_AXIS, axis=0, tiled=True)
         return unravel(ufull[:flat.size]), new_opt
 
@@ -417,10 +426,15 @@ def make_sample_fn(cfg, G, mesh: Mesh = None, train_mode: bool = False):
     ``train_mode=False`` uses BatchNorm running averages, matching
     netG.eval() under cfg.TEST.EVAL_MODE (cub_trainer_splitz_cap_ca.py:817).
     """
-    single_cond = isinstance(G, CondGNet)
-    uncond = isinstance(G, GNet)
+    uncond = isinstance(G, GNet) and not G.b_condition
 
     def sample(g_variables, rng, noise, *cond_args):
+        if uncond:
+            # B_CONDITION=False: netG(noise) alone (model.py:768-771).
+            # The reference's unconditional trainer branch is dead code
+            # (main.py:139 imports a nonexistent GANTrainer) — here the
+            # path is routed and tested.
+            cond_args = ()
         k_rep, k_prior = jax.random.split(rng)
         rngs = {'reparam': k_rep, 'cls_prior': k_prior}
         kw = dict(train=train_mode, rngs=rngs)
