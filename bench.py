@@ -46,8 +46,11 @@ def main():
     # 128/chip saturates the v5e on this workload (see PERF notes); the
     # reference metric is per-chip throughput, batch size is free.
     bs = int(os.environ.get('BENCH_BS', 128))
-    # bf16 BatchNorm IO: +14% (loss trajectories match f32; PERF.md)
-    cfg.TPU_BN_DTYPE = os.environ.get('BENCH_BN_DTYPE', 'bfloat16')
+    # The bench measures the SHIPPED default config (TPU_BN_DTYPE is
+    # bfloat16 by default since round 3 — no silent opt-in here); override
+    # via BENCH_BN_DTYPE to A/B the f32 BN variant.
+    if os.environ.get('BENCH_BN_DTYPE'):
+        cfg.TPU_BN_DTYPE = os.environ['BENCH_BN_DTYPE']
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 
@@ -76,17 +79,18 @@ def main():
 
     imgs_per_sec = B * steps / dt
     per_chip = imgs_per_sec / n_chips
+    flagship = cfg_name == 'birds_2stg_splitz_cap_ca.realcls.yml'
     result = {
         # the canonical flagship metric name is stable regardless of HOW
-        # the flagship config was selected; vs_baseline is only meaningful
-        # against the flagship's 37 img/s anchor, but the metric name
-        # labels the workload either way.
+        # the flagship config was selected; the 37 img/s anchor is the
+        # flagship CUB workload's, so vs_baseline is null for any other
+        # config (a ratio against it would be meaningless).
         'metric': 'cub_flagship_train_images_per_sec_per_chip'
-        if cfg_name == 'birds_2stg_splitz_cap_ca.realcls.yml'
-        else f'train_images_per_sec_per_chip[{cfg_name}]',
+        if flagship else f'train_images_per_sec_per_chip[{cfg_name}]',
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',
-        'vs_baseline': round(per_chip / BASELINE_IMAGES_PER_SEC, 3),
+        'vs_baseline': round(per_chip / BASELINE_IMAGES_PER_SEC, 3)
+        if flagship else None,
     }
     print(json.dumps(result))
 

@@ -86,3 +86,40 @@ def test_train_mode_ignores_cls_prior(gen):
                      mutable=['batch_stats'])
     # mu2 comes from the VC net -> generally nonzero
     assert float(jnp.abs(out[2]).sum()) > 0
+
+
+def test_uncond_gnet_sampler_routes_without_cond_args():
+    """B_CONDITION=False builds GNet; make_sample_fn must call it with
+    noise alone even when the trainer's eval loop passes (emb, cls) —
+    previously a TypeError (cond arg colliding with train=). The
+    reference's unconditional branch is dead code (main.py:139 imports a
+    nonexistent GANTrainer); here the path works."""
+    cfg = cfg_from_file(REF)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.B_CONDITION = False
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    from text2img_ekl_tpu.models import build_generator
+    from text2img_ekl_tpu.models.generator import GNet
+    from text2img_ekl_tpu.train.step import make_sample_fn
+    G = build_generator(cfg, train_flag=False)
+    assert isinstance(G, GNet) and not G.b_condition
+    B = 2
+    noise = jnp.zeros((B, cfg.GAN.Z_DIM))
+    rngs = {'params': jax.random.PRNGKey(0),
+            'reparam': jax.random.PRNGKey(0),
+            'cls_prior': jax.random.PRNGKey(0)}
+    vs = jax.jit(lambda r, n: G.init(r, n, train=True,
+                                     method='init_all'))(rngs, noise)
+    sampler = make_sample_fn(cfg, G, train_mode=True)
+    emb = jnp.zeros((B, cfg.TEXT.DIMENSION))
+    cls = jnp.zeros((B, cfg.GAN.ENTITY_DIM))
+    # exactly the trainer.evaluate non-coco call shape — extra cond args
+    # are dropped for the unconditional generator
+    imgs = sampler(vs, jax.random.PRNGKey(1), noise, emb, cls)
+    assert imgs[-1].shape[0] == B
+    assert bool(jnp.all(jnp.isfinite(imgs[-1])))
+    # and the plain call works too
+    imgs2 = sampler(vs, jax.random.PRNGKey(1), noise)
+    np.testing.assert_array_equal(np.asarray(imgs[-1]),
+                                  np.asarray(imgs2[-1]))

@@ -269,3 +269,25 @@ def test_coco_image_path_under_train2014(coco_dir):
         root, 'train2014', names[0] + '.jpg')
     item = ds[0]
     assert item['imgs'][0].shape == (64, 64, 3)
+
+
+def test_coco_test_split_loads_from_root(coco_dir):
+    """Reference prepair_test_pairs has NO coco branch — eval images load
+    from the DATA_DIR root (reference datasets.py:349-360), not
+    /train2014. Matching that keeps the reference's on-disk eval layout
+    working verbatim."""
+    root, names = coco_dir
+    split = os.path.join(root, 'test')
+    os.makedirs(split, exist_ok=True)
+    import shutil
+    for f in ('filenames.pickle', 'char-CNN-RNN-embeddings.pickle',
+              'class_info.pickle'):
+        shutil.copy(os.path.join(root, 'train', f), os.path.join(split, f))
+    for n in names:
+        shutil.copy(os.path.join(root, 'train2014', n + '.jpg'),
+                    os.path.join(root, n + '.jpg'))
+    ds = TextDataset(root, 'test', base_size=64, branch_num=2,
+                     entity_dim=80, train_pairs=False)
+    assert ds._image_path(names[0]) == os.path.join(root, names[0] + '.jpg')
+    item = ds[0]
+    assert item['imgs'][0].shape == (64, 64, 3)

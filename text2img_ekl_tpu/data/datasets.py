@@ -104,7 +104,12 @@ class TextDataset:
     def _image_path(self, key: str) -> str:
         if self.bbox is not None:
             return '%s/CUB_200_2011/images/%s.jpg' % (self.data_dir, key)
-        if self.is_coco:
+        if self.is_coco and self.train_pairs:
+            # COCO train pairs load from DATA_DIR/train2014
+            # (reference datasets.py:299-303); TEST pairs load from the
+            # DATA_DIR root — prepair_test_pairs has no coco branch
+            # (datasets.py:349-360) — so eval images must be placed/linked
+            # there, exactly as the reference requires.
             return '%s/train2014/%s.jpg' % (self.data_dir, key)
         return '%s/%s.jpg' % (self.data_dir, key)
 

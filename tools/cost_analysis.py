@@ -21,6 +21,7 @@ PEAK_HBM = 819e9
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bs', type=int, default=128)
+    ap.add_argument('--cfg', default='cfg/birds_2stg_splitz_cap_ca.realcls.yml')
     ap.add_argument('--bn_dtype', default='bfloat16')
     args = ap.parse_args()
 
@@ -33,7 +34,7 @@ def main():
     from text2img_ekl_tpu.train.step import (
         cond_code_width, make_synthetic_batch)
 
-    cfg = cfg_from_file('cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+    cfg = cfg_from_file(args.cfg)
     cfg.TPU_BN_DTYPE = args.bn_dtype
     cfg.TRAIN.BATCH_SIZE = args.bs
     mesh = make_mesh()
