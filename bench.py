@@ -51,6 +51,8 @@ def main():
     # via BENCH_BN_DTYPE to A/B the f32 BN variant.
     if os.environ.get('BENCH_BN_DTYPE'):
         cfg.TPU_BN_DTYPE = os.environ['BENCH_BN_DTYPE']
+    if os.environ.get('BENCH_FUSED_BN_GLU'):
+        cfg.TPU_FUSED_BN_GLU = os.environ['BENCH_FUSED_BN_GLU'] == '1'
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

@@ -160,6 +160,10 @@ class Config:
     # flag (io_utils/checkpoint.restore_train_state ->
     # train/state.migrate_opt_state, bit-exact modulo padding).
     TPU_SHARDED_ADAM: bool = False
+    # Fuse the BatchNorm normalize + GLU tail into one Pallas pass
+    # (ops/bn_glu.py): skips the full-width normalized-tensor
+    # materialization between BN and GLU. Checkpoint-identical parameters.
+    TPU_FUSED_BN_GLU: bool = False
     # NextStageG joint conv: True = tile-free exact rewrite of the
     # condition concat (default; +8.6% on the flagship step, PERF.md);
     # False = the materialized-concat formulation. Parameters identical.

@@ -486,6 +486,8 @@ def _apply_bn_dtype_policy(cfg) -> None:
         else jnp.float32
     blocks.SPLIT_JOINT_CONV = bool(
         getattr(cfg, 'TPU_SPLIT_JOINTCONV', True))
+    blocks.FUSED_BN_GLU = bool(
+        getattr(cfg, 'TPU_FUSED_BN_GLU', False))
 
 
 def build_generator(cfg, train_flag: bool = True) -> nn.Module:

@@ -100,6 +100,72 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+# Fuse the BN normalize + GLU tail into one Pallas pass (ops/bn_glu.py):
+# saves the full-width normalized-tensor materialization between BN and
+# GLU. Parameters/variables are checkpoint-identical to the unfused path.
+# Set via config TPU_FUSED_BN_GLU before model construction.
+FUSED_BN_GLU = False
+
+
+class _BNVars(nn.Module):
+    """Variable container laid out exactly like flax nn.BatchNorm, so the
+    fused module below is checkpoint-compatible with the plain one."""
+
+    @nn.compact
+    def __call__(self, c2: int):
+        scale = self.param('scale', bn_scale_init, (c2,), jnp.float32)
+        bias = self.param('bias', jax.nn.initializers.zeros, (c2,),
+                          jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda s: jnp.zeros(s, jnp.float32), (c2,))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda s: jnp.ones(s, jnp.float32), (c2,))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedBatchNormGLU(nn.Module):
+    """BatchNorm (flax-identical statistics and running-average update)
+    with the normalize+GLU tail as one fused pass."""
+
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c2 = x.shape[-1]
+        scale, bias, ra_mean, ra_var = _BNVars(name='BatchNorm_0')(c2)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # flax nn.BatchNorm's statistics formula: f32 mean and mean of
+            # squares over all non-channel axes, biased variance.
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mean2 = jnp.mean(xf * xf, axes)
+            var = mean2 - mean * mean
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + \
+                    (1.0 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + \
+                    (1.0 - BN_MOMENTUM) * var
+        from ..ops.bn_glu import fused_bn_glu
+        interpret = jax.default_backend() != 'tpu'
+        return fused_bn_glu(x, mean, var, scale, bias, BN_DTYPE, interpret)
+
+
+def bn_glu(x, train: bool, dtype, name: str = 'BatchNorm_0'):
+    """The BN -> GLU tail shared by UpBlock / Block3x3Relu / ResBlock.
+
+    Dispatches to the fused Pallas pass when FUSED_BN_GLU; explicit
+    ``name`` keeps the parameter tree identical either way."""
+    if FUSED_BN_GLU and x.ndim == 4:
+        out = FusedBatchNormGLU(use_running_average=not train,
+                                name=name)(x)
+    else:
+        out = glu(BatchNorm(use_running_average=not train, name=name)(x))
+    return out.astype(dtype)
+
+
 class Dense(nn.Module):
     """Linear layer with orthogonal init (reference: trainer.py:74-77)."""
 
@@ -242,8 +308,7 @@ class UpBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         x = upsample_nearest_2x(x)
         x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
-        x = BatchNorm(use_running_average=not train)(x)
-        return glu(x).astype(self.dtype)
+        return bn_glu(x, train, self.dtype)
 
 
 class Block3x3Relu(nn.Module):
@@ -259,8 +324,7 @@ class Block3x3Relu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, c_vec=None):
         x = Conv3x3(self.features * 2, dtype=self.dtype)(x, c_vec=c_vec)
-        x = BatchNorm(use_running_average=not train)(x)
-        return glu(x).astype(self.dtype)
+        return bn_glu(x, train, self.dtype)
 
 
 class ResBlock(nn.Module):
@@ -273,10 +337,10 @@ class ResBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         residual = x
         out = Conv3x3(self.features * 2, dtype=self.dtype)(x)
-        out = BatchNorm(use_running_average=not train)(out)
-        out = glu(out).astype(self.dtype)
+        out = bn_glu(out, train, self.dtype, name='BatchNorm_0')
         out = Conv3x3(self.features, dtype=self.dtype)(out)
-        out = BatchNorm(use_running_average=not train)(out)
+        out = BatchNorm(use_running_average=not train,
+                        name='BatchNorm_1')(out)
         return (out + residual.astype(out.dtype)).astype(self.dtype)
 
 

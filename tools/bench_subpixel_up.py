@@ -45,6 +45,9 @@ def build_w4(W):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--bs', type=int, default=128)
+    ap.add_argument('--h', type=int, default=64, help='input spatial size')
+    ap.add_argument('--c', type=int, default=64, help='input channels')
+    ap.add_argument('--f', type=int, default=128, help='output channels')
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,7 @@ def main():
     import numpy as np
     from text2img_ekl_tpu.nn.blocks import upsample_nearest_2x
 
-    B, H, C, F = args.bs, 64, 64, 128
+    B, H, C, F = args.bs, args.h, args.c, args.f
     kx, kw = jax.random.split(jax.random.PRNGKey(0))
     x = jax.random.normal(kx, (B, H, H, C), jnp.bfloat16)
     W = jax.random.normal(kw, (3, 3, C, F), jnp.float32) * 0.05
