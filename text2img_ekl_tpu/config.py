@@ -15,7 +15,7 @@ from __future__ import annotations
 import copy
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 
 @dataclass
@@ -172,6 +172,11 @@ class Config:
     # default). Conv emitters budget their scratch against this; the v5e's
     # physical VMEM is far above the default (PERF.md).
     TPU_SCOPED_VMEM_KIB: int = 0
+    # Extra backend-compiler options for the fused train step (merged
+    # with the scoped-vmem knob above); the only channel that reaches the
+    # remote AOT compiler (XLA_FLAGS is rejected by the local client).
+    # Swept by tools/sweep_compiler_flags.py.
+    TPU_COMPILER_OPTIONS: Optional[dict] = None
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3

@@ -37,10 +37,18 @@ def _stack_items(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class DataLoader:
+    """``batch_size`` is the PER-PROCESS batch. In a multi-host run
+    (``num_shards = jax.process_count()``) every process shuffles the full
+    index set with the same epoch seed and takes a disjoint stride
+    (``shard_id::num_shards``), so hosts decode only their share and the
+    union is exactly one reference epoch; the per-host batches are
+    assembled into global arrays by ``parallel.mesh.shard_batch``."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
                  prefetch: int = 2, seed: int = 0,
-                 collate_fn: Optional[Callable] = None):
+                 collate_fn: Optional[Callable] = None,
+                 shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,9 +58,19 @@ class DataLoader:
         self.collate = collate_fn or _stack_items
         self._epoch = 0
         self._seed = seed
+        if not (0 <= shard_id < num_shards):
+            raise ValueError('shard_id %d not in [0, %d)'
+                             % (shard_id, num_shards))
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    def _shard_len(self) -> int:
+        n = len(self.dataset)
+        # size of this process's stride shard of the epoch permutation
+        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -60,7 +78,11 @@ class DataLoader:
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            # identical permutation on every process (seed is shared), then
+            # a disjoint stride per process
             np.random.default_rng(self._seed + self._epoch).shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id::self.num_shards]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

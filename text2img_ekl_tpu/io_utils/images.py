@@ -57,15 +57,41 @@ def save_single_images(images: np.ndarray, filenames: Sequence[str],
                        classes: Sequence[int], imsize: int,
                        noise_id: int) -> None:
     """Reference naming: <dir>/single_samples/<key>_<imsize>_class<c>_
-    sid<s>_nid<n>.png (cub_trainer_splitz_cap_ca.py:758-774)."""
+    sid<s>_nid<n>.png (cub_trainer_splitz_cap_ca.py:758-774).
+
+    The encode goes through the native async PNG writer when available
+    (C++ thread pool off the GIL, overlapped with device sampling —
+    native/imagewriter.cpp); callers that read the files back must call
+    ``flush_writes()`` first. PIL fallback is synchronous.
+    """
+    paths = []
     for i in range(images.shape[0]):
         s_tmp = '%s/single_samples/%s' % (save_dir, filenames[i])
         folder = s_tmp[:s_tmp.rfind('/')]
         os.makedirs(folder, exist_ok=True)
-        fullpath = '%s_%d_class%d_sid%d_nid%d.png' % (
-            s_tmp, imsize, int(classes[i]), sentence_id, noise_id)
-        img = np.clip((images[i] + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
+        paths.append('%s_%d_class%d_sid%d_nid%d.png' % (
+            s_tmp, imsize, int(classes[i]), sentence_id, noise_id))
+    batch = np.clip((np.asarray(images) + 1.0) / 2.0 * 255.0,
+                    0, 255).astype(np.uint8)
+    if os.environ.get('T2I_NATIVE_WRITE', '1') == '1':
+        try:
+            from .native_writer import write_png_batch
+            write_png_batch(batch, paths)
+            return
+        except Exception:
+            pass  # fall through to PIL
+    for img, fullpath in zip(batch, paths):
         Image.fromarray(img).save(fullpath)
+
+
+def flush_writes() -> int:
+    """Join the async PNG writer; returns the failed-write count (0 when
+    the native writer was never used)."""
+    try:
+        from . import native_writer
+    except Exception:
+        return 0
+    return native_writer.flush()
 
 
 def save_super_images(images_list, filenames: Sequence[str], save_dir: str,

@@ -64,6 +64,10 @@ def shard_batch(mesh: Mesh, batch):
     a NamedSharding: sharding-committed inputs force the SPMD compile path,
     which this TPU's AOT backend executes ~100x slower than the identical
     unsharded program (measured: 34 ms vs 3.6 s per flagship train step).
+
+    Multi-host: ``batch`` is this process's PER-HOST slice (the loader
+    strides the epoch over processes); the global jax.Array is assembled
+    from every host's local shards without any cross-host copy.
     """
     if mesh.devices.size == 1:
         # Even device-committed (non-sharded) inputs select the slow
@@ -71,4 +75,8 @@ def shard_batch(mesh: Mesh, batch):
         import jax.numpy as jnp
         return jax.tree.map(jnp.asarray, batch)
     sh = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -325,8 +325,15 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     # CPU/virtual-mesh test path never sees a TPU-only option.
     kib = int(getattr(cfg, 'TPU_SCOPED_VMEM_KIB', 0) or 0)
     jit_kw = dict(donate_argnums=(0,))
+    # Generic backend-compiler options (TPU_COMPILER_OPTIONS dict; the
+    # only way to reach the remote AOT compiler — XLA_FLAGS is rejected
+    # by the local client, PERF.md pitfall). Only attached when set, so
+    # the CPU/virtual-mesh test path never sees TPU-only options.
+    copts = dict(getattr(cfg, 'TPU_COMPILER_OPTIONS', None) or {})
     if kib > 0:
-        jit_kw['compiler_options'] = {'xla_tpu_scoped_vmem_limit_kib': kib}
+        copts['xla_tpu_scoped_vmem_limit_kib'] = kib
+    if copts:
+        jit_kw['compiler_options'] = copts
 
     if mesh is None:
         return jax.jit(local_step, **jit_kw)

@@ -33,7 +33,7 @@ from ..data import DataLoader, SyntheticTextDataset, TextDataset
 from ..data.transforms import build_eval_transform, build_train_transform
 from ..io_utils import (CheckpointManager, MetricsLogger, save_image_grid,
                         save_single_images)
-from ..io_utils.images import save_super_images
+from ..io_utils.images import flush_writes, save_super_images
 from ..models import build_discriminators, build_generator
 from ..parallel import make_mesh, shard_batch
 from .state import create_train_state
@@ -61,7 +61,11 @@ class CondGANTrainer:
 
         self.mesh = make_mesh(cfg.TPU_DATA_PARALLEL)
         self.num_shards = self.mesh.devices.size
-        self.batch_size = cfg.TRAIN.BATCH_SIZE * self.num_shards
+        # Reference global batch = BATCH_SIZE x num devices (main.py:134).
+        # Each process loads only its addressable share; shard_batch
+        # assembles the global array from the per-host slices.
+        self.batch_size = (cfg.TRAIN.BATCH_SIZE * self.num_shards
+                           // jax.process_count())
         self.data_loader = data_loader or self._build_loader()
         self.num_batches = len(self.data_loader)
 
@@ -74,6 +78,11 @@ class CondGANTrainer:
     def _build_loader(self):
         cfg = self.cfg
         split = 'train' if cfg.TRAIN.FLAG else 'test'
+        # multi-host: each process decodes a disjoint stride of the epoch
+        loader_kw = dict(shuffle=cfg.TRAIN.FLAG, drop_last=True,
+                         num_workers=int(cfg.WORKERS),
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
         transform = (build_train_transform(cfg.imsize) if cfg.TRAIN.FLAG
                      else build_eval_transform(cfg.imsize))
         if 'lsun' in cfg.DATA_DIR:
@@ -82,8 +91,7 @@ class CondGANTrainer:
                 '%s/%s_%s_lmdb' % (cfg.DATA_DIR, cfg.DATASET_NAME, split),
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
                 transform=transform)
-            return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
-                              drop_last=True, num_workers=int(cfg.WORKERS))
+            return DataLoader(ds, self.batch_size, **loader_kw)
         if 'imagenet' in cfg.DATA_DIR:
             from ..data import ImageFolderDataset
             from ..data.imagenet_classes import CLASS_DIC
@@ -92,8 +100,7 @@ class CondGANTrainer:
                 custom_classes=CLASS_DIC.get(cfg.DATASET_NAME),
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
                 transform=transform)
-            return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
-                              drop_last=True, num_workers=int(cfg.WORKERS))
+            return DataLoader(ds, self.batch_size, **loader_kw)
         has_data = cfg.DATA_DIR and os.path.isdir(
             os.path.join(cfg.DATA_DIR, split))
         if cfg.TPU_SYNTHETIC_DATA or not has_data:
@@ -113,8 +120,7 @@ class CondGANTrainer:
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
                 entity_dim=cfg.GAN.ENTITY_DIM, train_pairs=cfg.TRAIN.FLAG,
                 transform=transform, native_decode=cfg.TPU_NATIVE_DECODE)
-        return DataLoader(ds, self.batch_size, shuffle=cfg.TRAIN.FLAG,
-                          drop_last=True, num_workers=int(cfg.WORKERS))
+        return DataLoader(ds, self.batch_size, **loader_kw)
 
     # ------------------------------------------------------------------
     def _device_batch(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -455,6 +461,24 @@ class CondGANTrainer:
                         k_prior, (bsz, cfg.GAN.MANIFD_DIM))
 
                 fake_img_list = []
+                # Pipeline sampler dispatch against the host fetch + PNG
+                # encode: JAX queues device work asynchronously, so while
+                # caption i+k is sampling on-device, caption i is fetched
+                # and written (natively, off the GIL). Depth is bounded so
+                # at most PIPE+1 image batches are ever device-resident
+                # (~150 MB at bs64/256px) — at TEST.SAMPLE_NUM=10 an
+                # unbounded queue would hold ~100 batches / several GB of
+                # HBM next to the params. (The reference saves inline and
+                # serializes, cub_trainer_splitz_cap_ca.py:883-898.)
+                PIPE = 2
+                pending = []  # (device images, sentence_id, noise_id)
+
+                def _drain(limit):
+                    while len(pending) > limit:
+                        imgs, si, nid = pending.pop(0)
+                        save_single_images(np.asarray(imgs), data['key'],
+                                           save_dir, split_dir, si, cls,
+                                           cfg.imsize, nid)
                 for i in range(min(embedding_dim, embeddings.shape[1])):
                     for j in range(sample_num):
                         if sample_num > 1:
@@ -479,12 +503,12 @@ class CondGANTrainer:
                         if cfg.TEST.B_EXAMPLE:
                             fake_img_list.append(np.asarray(fakes[-1]))
                         else:
-                            save_single_images(
-                                np.asarray(fakes[-1]), data['key'], save_dir,
-                                split_dir, i, cls, cfg.imsize, nid_base + j)
+                            pending.append((fakes[-1], i, nid_base + j))
                             count += bsz
+                            _drain(PIPE)
                     if target is not None and count >= target:
                         break
+                _drain(0)
                 if cfg.TEST.B_EXAMPLE:
                     save_super_images(fake_img_list, data['key'], save_dir,
                                       split_dir, 256)
@@ -493,6 +517,9 @@ class CondGANTrainer:
                     break
             done = single_pass or target is None or count >= target
             nid_base += sample_num
+        write_errors = flush_writes()  # join the async native PNG writer
+        if write_errors:
+            print('!! %d image writes failed' % write_errors)
         print('Save images ok; Number of images: %d' % count)
         return save_dir
 
