@@ -82,3 +82,28 @@ def test_save_single_images_pil_fallback(tmp_path):
     """T2I_NATIVE_WRITE=0 must work with no native lib at all."""
     out = _roundtrip_single_images(tmp_path, '0')
     assert out.shape == (3, 24, 24, 3)
+
+
+def test_save_single_images_uint8_passthrough(tmp_path):
+    """uint8 input (device-quantized by the eval loop) is written as-is;
+    float input quantizes to the same pixels."""
+    rng = np.random.default_rng(3)
+    floats = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    quant = np.clip((floats + 1.0) / 2.0 * 255.0, 0, 255).astype(np.uint8)
+    old = os.environ.get('T2I_NATIVE_WRITE')
+    os.environ['T2I_NATIVE_WRITE'] = '0'
+    try:
+        for sub, imgs in [('f', floats), ('q', quant)]:
+            images_mod.save_single_images(
+                imgs, ['a', 'b'], str(tmp_path / sub), 'test',
+                sentence_id=0, classes=[1, 2], imsize=16, noise_id=0)
+    finally:
+        if old is None:
+            os.environ.pop('T2I_NATIVE_WRITE', None)
+        else:
+            os.environ['T2I_NATIVE_WRITE'] = old
+    for k, c in zip(['a', 'b'], [1, 2]):
+        pf = '%s/f/single_samples/%s_16_class%d_sid0_nid0.png' % (tmp_path, k, c)
+        pq = '%s/q/single_samples/%s_16_class%d_sid0_nid0.png' % (tmp_path, k, c)
+        np.testing.assert_array_equal(np.asarray(Image.open(pf)),
+                                      np.asarray(Image.open(pq)))

@@ -306,3 +306,43 @@ def test_zero1_reduction_matches_pmean():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         ref, got)
+
+
+def test_caption_sampler_matches_looped_calls():
+    """make_caption_sample_fn (ONE vmapped call over the caption axis,
+    uint8-quantized on device — the eval loop's batched protocol) must
+    reproduce the looped per-caption sampler + host quantization: same
+    keys, same noise, per-caption BatchNorm statistics."""
+    from text2img_ekl_tpu.train.step import (make_caption_sample_fn,
+                                             make_sample_fn)
+    cfg = _small(cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml')))
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    g_vars = {'params': state.g_params, 'batch_stats': state.g_batch_stats}
+
+    B, C = 2, 3
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((B, cfg.GAN.Z_DIM), dtype=np.float32)
+    emb_all = 0.3 * rng.standard_normal(
+        (C, B, cfg.TEXT.DIMENSION)).astype(np.float32)
+    onehot = np.eye(cfg.GAN.ENTITY_DIM, dtype=np.float32)[
+        rng.integers(0, cfg.GAN.ENTITY_DIM, B)]
+    keys = np.stack([np.array([100, i], np.uint32) for i in range(C)])
+
+    loop = make_sample_fn(cfg, G, train_mode=True)
+    cap = make_caption_sample_fn(cfg, G, train_mode=True, pattern='cls')
+    out = np.asarray(cap(g_vars, keys,
+                         np.broadcast_to(noise, (C,) + noise.shape),
+                         emb_all, onehot))
+    assert out.dtype == np.uint8
+    assert out.shape[:2] == (C, B)
+    for i in range(C):
+        ref = np.asarray(loop(g_vars, keys[i], noise, emb_all[i],
+                              onehot)[-1])
+        ref8 = np.clip((ref.astype(np.float32) + 1.0) * 127.5,
+                       0, 255).astype(np.uint8)
+        # +-1 LSB: vmapped vs single-call fusion may round differently
+        np.testing.assert_allclose(out[i].astype(np.int16),
+                                   ref8.astype(np.int16), atol=1)

@@ -71,8 +71,12 @@ def save_single_images(images: np.ndarray, filenames: Sequence[str],
         os.makedirs(folder, exist_ok=True)
         paths.append('%s_%d_class%d_sid%d_nid%d.png' % (
             s_tmp, imsize, int(classes[i]), sentence_id, noise_id))
-    batch = np.clip((np.asarray(images) + 1.0) / 2.0 * 255.0,
-                    0, 255).astype(np.uint8)
+    batch = np.asarray(images)
+    if batch.dtype != np.uint8:
+        # [-1,1] floats; uint8 input means the caller already quantized
+        # (the eval loop quantizes on device to shrink the D2H transfer)
+        batch = np.clip((batch + 1.0) / 2.0 * 255.0,
+                        0, 255).astype(np.uint8)
     if os.environ.get('T2I_NATIVE_WRITE', '1') == '1':
         try:
             from .native_writer import write_png_batch

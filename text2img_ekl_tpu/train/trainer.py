@@ -19,6 +19,7 @@ config-driven class:
 
 from __future__ import annotations
 
+import itertools
 import os
 import signal
 import time
@@ -37,12 +38,22 @@ from ..io_utils.images import flush_writes, save_super_images
 from ..models import build_discriminators, build_generator
 from ..parallel import make_mesh, shard_batch
 from .state import create_train_state
-from .step import cond_code_width, make_sample_fn, make_train_step
+from .step import (cond_code_width, make_caption_sample_fn, make_sample_fn,
+                   make_train_step)
 
 # IS save-gates (cub_trainer_splitz_cap_ca.py:670-674)
 IS_THRESHOLD_COCO = 6.0
 IS_THRESHOLD_CUB_GENERAL = 5.5
 IS_THRESHOLD_CUB_FINETUNED = 3.4
+
+
+def _host_key(stream: int, n: int) -> np.ndarray:
+    """Distinct raw uint32[2] PRNG key built ON THE HOST. Equivalent to a
+    fresh jax.random key per call, but with zero eager device ops —
+    eager `split`/`normal` dispatch is ~100 ms/op through the tunneled
+    backend (PERF.md pitfall 3), which would otherwise tax every train
+    step and every sampler call in the eval loop."""
+    return np.array([stream & 0xffffffff, n & 0xffffffff], dtype=np.uint32)
 
 
 class CondGANTrainer:
@@ -209,7 +220,6 @@ class CondGANTrainer:
             except (ValueError, OSError):
                 pass  # non-main thread
 
-        rng = jax.random.PRNGKey(1)
         count = int(np.asarray(state.step))
         total_steps = 0
         for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
@@ -219,7 +229,9 @@ class CondGANTrainer:
             for step_i, host_batch in enumerate(self.data_loader):
                 batch = self._device_batch(host_batch)
                 last_batch = batch
-                rng, step_rng = jax.random.split(rng)
+                # host-built key: deterministic under resume (count comes
+                # from state.step) and no per-step eager dispatch
+                step_rng = _host_key(1, count)
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 3:
                     jax.profiler.start_trace(
                         os.path.join(self.log_dir, 'profile'))
@@ -261,7 +273,8 @@ class CondGANTrainer:
                      m.get('kl_sen', 0), m.get('kl_cls', 0), elapsed))
 
             if last_batch is not None:
-                self._save_epoch_images(state, last_batch, rng, epoch)
+                self._save_epoch_images(state, last_batch,
+                                        _host_key(2, epoch), epoch)
             interval = cfg.TRAIN.SNAPSHOT_INTERVAL
             if epoch % interval == interval - 1 or epoch > 199:
                 self.ckpt.save(state, epoch)
@@ -277,7 +290,7 @@ class CondGANTrainer:
             elif cfg.TRAIN.BIG_EVAL:
                 # Per-epoch eval over >=1000 fresh samples with a save gate
                 # at 5.4 (cub_trainer_splitz_cap_ca.py:698-730).
-                mean = self._big_eval(state, rng, n=1000)
+                mean = self._big_eval(state, _host_key(3, epoch), n=1000)
                 print('Epoch%d IS: %.3f' % (epoch, mean))
                 if mean > 5.4:
                     self.ckpt.save(state, epoch)
@@ -328,7 +341,11 @@ class CondGANTrainer:
             self._train_sampler = make_sample_fn(
                 self.cfg, self.G, self.mesh, train_mode=True)
         bsz = batch['real'][0].shape[0]
-        noise = jax.random.normal(rng, (bsz, self.cfg.GAN.Z_DIM))
+        # host-side noise seeded from the key (no eager device op; the
+        # jitted sampler call transfers it with the other args)
+        seed = (int(np.asarray(rng)[0]) << 32) | int(np.asarray(rng)[1])
+        noise = np.random.default_rng(seed).standard_normal(
+            (bsz, self.cfg.GAN.Z_DIM), dtype=np.float32)
         if self.is_coco:
             return self._train_sampler(g_vars, rng, noise, batch['cond'])
         return self._train_sampler(g_vars, rng, noise, batch['txt'],
@@ -378,11 +395,12 @@ class CondGANTrainer:
         if not hasattr(self, '_big_scorer'):
             self._big_scorer = self._make_is_scorer()
         scorer = self._big_scorer
-        for host_batch in self.data_loader:
+        base = int(np.asarray(rng)[1])
+        for bi, host_batch in enumerate(self.data_loader):
             if scorer.count > n:
                 break
             batch = self._device_batch(host_batch)
-            rng, k = jax.random.split(rng)
+            k = _host_key(4, base * 4096 + bi)  # no eager split per batch
             fakes = self._sample_like(state, batch, k)
             scorer.add(fakes[-1])
         mean, _ = scorer.score(num_splits=1)
@@ -433,14 +451,50 @@ class CondGANTrainer:
         # offline 30k-sample protocol (TEST.SAMPLE_NUM, miscc/config.py:32)
         # is reached by re-passing the test loader with fresh noise ids.
         sample_num = 1
-        rng = jax.random.PRNGKey(100)  # manualSeed=100 at eval (main.py:88)
+        # manualSeed=100 at eval (main.py:88). Noise is drawn on the HOST
+        # and sampler keys are host-built raw keys: the reference's eval
+        # loop spends nothing on RNG, while eager jax.random ops here
+        # would cost ~100 ms/op through the tunneled backend — 3 ops per
+        # caption made RNG the dominant eval cost (measured, PERF.md).
+        np_rng = np.random.default_rng(100)
+        kseq = itertools.count()
         cls_share = cfg.TEST.CLS_PRIOR and cfg.TEST.CLS_SHARE
         single_pass = cfg.TEST.B_EXAMPLE or max_batches is not None
         target = None if single_pass else int(cfg.TEST.SAMPLE_NUM)
 
+        # The offline protocol samples every caption with one vmapped
+        # call per data batch (make_caption_sample_fn: per-caption BN
+        # semantics, one dispatch + one uint8 fetch instead of ten);
+        # B_EXAMPLE super grids keep the per-caption sampler.
+        use_batched = not cfg.TEST.B_EXAMPLE
+        if use_batched:
+            pattern = ('cond' if self.is_coco else
+                       'cls_share' if cls_share else 'cls')
+            cap_sampler = make_caption_sample_fn(
+                cfg, self.G, self.mesh,
+                train_mode=not cfg.TEST.EVAL_MODE, pattern=pattern)
+
         count = 0
         nid_base = 0
         done = False
+        # Cross-batch pipeline: dispatch batch b's all-caption call, then
+        # fetch + PNG-encode batch b-1 while b samples on device (the
+        # native writer encodes off the GIL). Depth 1 bounds device
+        # memory to two all-caption uint8 batches (~60 MB at bs64/128px).
+        pending = []  # (device [C,B,H,W,3] uint8, filenames, cls, nid,
+        #                n_keep captions — the last batch of the 30k
+        #                protocol may stop at caption granularity so the
+        #                PNG count lands exactly on TEST.SAMPLE_NUM)
+
+        def _drain(limit):
+            while len(pending) > limit:
+                dev, names, pcls, nid, keep = pending.pop(0)
+                arr = np.asarray(dev)
+                for si in range(keep):
+                    save_single_images(arr[si], names, save_dir,
+                                       split_dir, si, pcls,
+                                       cfg.imsize, nid)
+
         while not done:
             for step, data in enumerate(self.data_loader):
                 if max_batches is not None and step >= max_batches:
@@ -452,64 +506,77 @@ class CondGANTrainer:
                     cls_onehot = np.eye(cfg.GAN.ENTITY_DIM,
                                         dtype=np.float32)[cls0]
                 bsz = embeddings.shape[0]
-                rng, k_noise = jax.random.split(rng)
-                noise = jax.random.normal(k_noise, (bsz, cfg.GAN.Z_DIM))
+                noise = np_rng.standard_normal(
+                    (bsz, cfg.GAN.Z_DIM), dtype=np.float32)
                 if cls_share:
                     # the 10 captions share one fixed class prior
-                    rng, k_prior = jax.random.split(rng)
-                    shared_prior = jax.random.normal(
-                        k_prior, (bsz, cfg.GAN.MANIFD_DIM))
+                    shared_prior = np_rng.standard_normal(
+                        (bsz, cfg.GAN.MANIFD_DIM), dtype=np.float32)
 
-                fake_img_list = []
-                # Pipeline sampler dispatch against the host fetch + PNG
-                # encode: JAX queues device work asynchronously, so while
-                # caption i+k is sampling on-device, caption i is fetched
-                # and written (natively, off the GIL). Depth is bounded so
-                # at most PIPE+1 image batches are ever device-resident
-                # (~150 MB at bs64/256px) — at TEST.SAMPLE_NUM=10 an
-                # unbounded queue would hold ~100 batches / several GB of
-                # HBM next to the params. (The reference saves inline and
-                # serializes, cub_trainer_splitz_cap_ca.py:883-898.)
-                PIPE = 2
-                pending = []  # (device images, sentence_id, noise_id)
-
-                def _drain(limit):
-                    while len(pending) > limit:
-                        imgs, si, nid = pending.pop(0)
-                        save_single_images(np.asarray(imgs), data['key'],
-                                           save_dir, split_dir, si, cls,
-                                           cfg.imsize, nid)
-                for i in range(min(embedding_dim, embeddings.shape[1])):
+                n_cap = min(embedding_dim, embeddings.shape[1])
+                if use_batched:
+                    # [B, C, E] -> [C, B, E] caption-major for the vmap
+                    emb_all = np.ascontiguousarray(
+                        embeddings[:, :n_cap, :].transpose(1, 0, 2))
                     for j in range(sample_num):
+                        keys = np.stack([_host_key(100, next(kseq))
+                                         for _ in range(n_cap)])
                         if sample_num > 1:
-                            rng, k_noise = jax.random.split(rng)
-                            noise = jax.random.normal(
-                                k_noise, (bsz, cfg.GAN.Z_DIM))
-                        rng, k_s = jax.random.split(rng)
-                        emb_i = jnp.asarray(embeddings[:, i, :])
+                            # distinct noise per (caption, noise_id), as
+                            # the reference redraws per inner iteration
+                            noise_all = np_rng.standard_normal(
+                                (n_cap, bsz, cfg.GAN.Z_DIM),
+                                dtype=np.float32)
+                        else:
+                            # one draw per batch shared by all captions
+                            noise_all = np.broadcast_to(
+                                noise, (n_cap,) + noise.shape)
                         if self.is_coco:
-                            cond = jnp.concatenate(
-                                [emb_i, jnp.asarray(cls, jnp.float32)],
-                                axis=1)
-                            fakes = sampler(g_vars, k_s, noise, cond)
+                            cond_all = np.concatenate(
+                                [emb_all, np.broadcast_to(
+                                    np.asarray(cls, np.float32),
+                                    (n_cap,) + cls.shape)], axis=2)
+                            out = cap_sampler(g_vars, keys, noise_all,
+                                              cond_all)
                         elif cls_share:
                             # netG(noise, emb, cls_prior=prior)
                             # (cub_trainer_splitz_cap_ca.py:876-877)
-                            fakes = sampler(g_vars, k_s, noise, emb_i,
-                                            None, shared_prior)
+                            out = cap_sampler(g_vars, keys, noise_all,
+                                              emb_all, None, shared_prior)
                         else:
-                            fakes = sampler(g_vars, k_s, noise, emb_i,
-                                            jnp.asarray(cls_onehot))
-                        if cfg.TEST.B_EXAMPLE:
+                            out = cap_sampler(g_vars, keys, noise_all,
+                                              emb_all, cls_onehot)
+                        if target is not None:
+                            keep = min(n_cap, max(
+                                0, -(-(target - count) // bsz)))
+                        else:
+                            keep = n_cap
+                        if keep:
+                            pending.append((out, data['key'], cls,
+                                            nid_base + j, keep))
+                            count += bsz * keep
+                        _drain(1)
+                else:
+                    fake_img_list = []
+                    for i in range(n_cap):
+                        for j in range(sample_num):
+                            if sample_num > 1:
+                                noise = np_rng.standard_normal(
+                                    (bsz, cfg.GAN.Z_DIM), dtype=np.float32)
+                            k_s = _host_key(100, next(kseq))
+                            emb_i = embeddings[:, i, :]
+                            if self.is_coco:
+                                cond = np.concatenate(
+                                    [emb_i, np.asarray(cls, np.float32)],
+                                    axis=1)
+                                fakes = sampler(g_vars, k_s, noise, cond)
+                            elif cls_share:
+                                fakes = sampler(g_vars, k_s, noise, emb_i,
+                                                None, shared_prior)
+                            else:
+                                fakes = sampler(g_vars, k_s, noise, emb_i,
+                                                cls_onehot)
                             fake_img_list.append(np.asarray(fakes[-1]))
-                        else:
-                            pending.append((fakes[-1], i, nid_base + j))
-                            count += bsz
-                            _drain(PIPE)
-                    if target is not None and count >= target:
-                        break
-                _drain(0)
-                if cfg.TEST.B_EXAMPLE:
                     save_super_images(fake_img_list, data['key'], save_dir,
                                       split_dir, 256)
                 print('[%d/%d]' % (step, self.num_batches))
@@ -517,6 +584,7 @@ class CondGANTrainer:
                     break
             done = single_pass or target is None or count >= target
             nid_base += sample_num
+        _drain(0)
         write_errors = flush_writes()  # join the async native PNG writer
         if write_errors:
             print('!! %d image writes failed' % write_errors)
