@@ -213,6 +213,14 @@ void normalize_into(const ImageU8& img, float* out) {
   }
 }
 
+// uint8 output mode: raw pixels; the train step normalizes on-device
+// (x/127.5 - 1, exactly ToTensor+Normalize(0.5,0.5)) — 4x less host
+// memory bandwidth and host->device transfer than float32 slabs.
+void copy_into(const ImageU8& img, uint8_t* out) {
+  std::memcpy(out, img.data.data(),
+              static_cast<size_t>(img.w) * img.h * 3);
+}
+
 struct Loader {
   int num_threads;
   std::vector<int> sizes;  // branch sizes, ascending
@@ -220,11 +228,11 @@ struct Loader {
   uint64_t epoch_seed;
 };
 
-// Process one image into the per-branch output slabs.
-// Returns 0 on success, nonzero error code otherwise.
+// Process one image into the per-branch output slabs (float32 [-1,1]
+// or raw uint8 when out_uint8). Returns 0 on success.
 int process_one(const Loader& L, const char* path, const float* bbox,
                 bool train, uint64_t item_seed, int item_index,
-                float** out_bufs) {
+                void** out_bufs, bool out_uint8) {
   ImageU8 img;
   // The bbox square's full-res side is 2R (reference: datasets.py:47-50) —
   // the decoder only needs enough DCT scale for that region to cover the
@@ -269,14 +277,17 @@ int process_one(const Loader& L, const char* path, const float* bbox,
   // branch pyramid (reference: datasets.py:61-67)
   for (size_t b = 0; b < L.sizes.size(); ++b) {
     const int s = L.sizes[b];
-    float* dst = out_bufs[b] +
-                 static_cast<size_t>(item_index) * s * s * 3;
-    if (s == top) {
-      normalize_into(crop_img, dst);
-    } else {
-      ImageU8 small;
+    const size_t off = static_cast<size_t>(item_index) * s * s * 3;
+    const ImageU8* src = &crop_img;
+    ImageU8 small;
+    if (s != top) {
       resize_bilinear(crop_img, s, s, &small);
-      normalize_into(small, dst);
+      src = &small;
+    }
+    if (out_uint8) {
+      copy_into(*src, static_cast<uint8_t*>(out_bufs[b]) + off);
+    } else {
+      normalize_into(*src, static_cast<float*>(out_bufs[b]) + off);
     }
   }
   return 0;
@@ -301,13 +312,17 @@ void t2i_loader_destroy(void* handle) {
 }
 
 // Decode n images in parallel into per-branch slabs out_bufs[b] of shape
-// [n, sizes[b], sizes[b], 3] float32. bboxes: n*4 floats, has_bbox: n bytes.
+// [n, sizes[b], sizes[b], 3] — float32 [-1,1], or raw uint8 when
+// out_uint8 (the train step then normalizes on-device: 4x less host
+// bandwidth and H2D transfer). bboxes: n*4 floats, has_bbox: n bytes.
 // Returns the number of failed images (their slots are zero-filled).
 int t2i_decode_batch(void* handle, int n, const char** paths,
                      const float* bboxes, const unsigned char* has_bbox,
-                     int train, uint64_t seed, float** out_bufs) {
+                     int train, uint64_t seed, void** out_bufs,
+                     int out_uint8) {
   Loader* L = static_cast<Loader*>(handle);
   std::atomic<int> next(0), failures(0);
+  const size_t elt = out_uint8 ? sizeof(uint8_t) : sizeof(float);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
@@ -317,13 +332,14 @@ int t2i_decode_batch(void* handle, int n, const char** paths,
                                     : nullptr;
       uint64_t item_seed = seed * 0x9E3779B97F4A7C15ull + i;
       int rc = process_one(*L, paths[i], bb, train != 0, item_seed, i,
-                           out_bufs);
+                           out_bufs, out_uint8 != 0);
       if (rc != 0) {
         failures.fetch_add(1);
         for (size_t b = 0; b < L->sizes.size(); ++b) {
           const int s = L->sizes[b];
-          std::memset(out_bufs[b] + static_cast<size_t>(i) * s * s * 3, 0,
-                      static_cast<size_t>(s) * s * 3 * sizeof(float));
+          std::memset(static_cast<char*>(out_bufs[b]) +
+                          static_cast<size_t>(i) * s * s * 3 * elt,
+                      0, static_cast<size_t>(s) * s * 3 * elt);
         }
       }
     }

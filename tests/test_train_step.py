@@ -137,6 +137,14 @@ def test_gspmd_mode_matches_single_device():
     name = 'birds_2stg_splitz_cap_ca.realcls.yml'
     cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
     cfg.TPU_SPMD_MODE = 'gspmd'
+    # Program-equivalence at tight tolerance needs the f32 numerics
+    # path: the uint8 entry normalize and bf16 BN IO (both shipped
+    # defaults) round differently across compilation variants — 1-ulp
+    # deltas the nets amplify past atol. Their schema/dtype equivalence
+    # claims have their own dedicated tests
+    # (test_uint8_input.py, tools/bn_dtype_convergence.py evidence).
+    cfg.TPU_UINT8_INPUT = False
+    cfg.TPU_BN_DTYPE = 'float32'
     mesh = make_mesh()
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
@@ -225,6 +233,11 @@ def test_grouped_d_matches_sequential():
     running averages are combined exactly."""
     name = 'birds_2stg_splitz_cap_ca.realcls.yml'
     cfg = _small(cfg_from_file(os.path.join(REF_CFG_DIR, name)))
+    # f32 numerics path — program-equivalence test at tight tolerance
+    # (see test_gspmd_mode_matches_single_device for why the uint8/bf16
+    # defaults are excluded here)
+    cfg.TPU_UINT8_INPUT = False
+    cfg.TPU_BN_DTYPE = 'float32'
     G = build_generator(cfg)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     batch = _batch(cfg, 8)

@@ -177,6 +177,12 @@ class Config:
     # remote AOT compiler (XLA_FLAGS is rejected by the local client).
     # Swept by tools/sweep_compiler_flags.py.
     TPU_COMPILER_OPTIONS: Optional[dict] = None
+    # Feed image pyramids host->device as raw uint8 and normalize
+    # on-device (x/127.5-1, bit-identical to the host ToTensor+Normalize
+    # since 2/255 == 1/127.5): 4x less host memory bandwidth, loader
+    # slab size, and H2D transfer per step. The step accepts either
+    # dtype; this flag controls what the datasets/loaders emit.
+    TPU_UINT8_INPUT: bool = True
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3

@@ -47,7 +47,7 @@ class TextDataset:
                  embedding_type: str = 'cnn-rnn', base_size: int = 64,
                  branch_num: int = 2, entity_dim: int = 200,
                  train_pairs: bool = True, transform=None, seed: int = 0,
-                 native_decode: bool = False):
+                 native_decode: bool = False, uint8_output: bool = False):
         self.data_dir = data_dir
         self.branch_num = branch_num
         self.entity_dim = entity_dim
@@ -57,6 +57,9 @@ class TextDataset:
         self.is_coco = data_dir.rstrip('/').endswith('coco')
         self.rng = np.random.default_rng(seed)
         self.native_decode = native_decode
+        # raw uint8 pyramids; the train step normalizes on-device
+        # (cfg.TPU_UINT8_INPUT — 4x less host bandwidth / H2D transfer)
+        self.uint8_output = uint8_output
         self._native = None  # lazily-built NativeDecoder
 
         self.bbox = self._load_bbox() if 'birds' in data_dir else None
@@ -118,13 +121,15 @@ class TextDataset:
         if self.bbox is not None:
             img = T.bbox_crop(img, self.bbox[key])
         img = self.transform(img, rng)
-        return T.multiscale_pyramid(img, self.imsize)
+        return T.multiscale_pyramid(img, self.imsize,
+                                    as_uint8=self.uint8_output)
 
     # -- batch-granular native decode -----------------------------------
     def _native_decoder(self):
         if self._native is None:
             from .native_loader import NativeDecoder
-            self._native = NativeDecoder(self.imsize)
+            self._native = NativeDecoder(self.imsize,
+                                         uint8_output=self.uint8_output)
         return self._native
 
     def batch_items(self, indices, seed: int = 0):
@@ -238,7 +243,8 @@ class ImageFolderDataset:
     def __init__(self, root: str, split_dir: str = 'train',
                  custom_classes: Optional[Sequence[str]] = None,
                  base_size: int = 64, branch_num: int = 3, transform=None,
-                 seed: int = 0):
+                 seed: int = 0, uint8_output: bool = False):
+        self.uint8_output = uint8_output
         root = os.path.join(root, split_dir)
         self.classes = sorted(
             os.path.join(root, d) for d in os.listdir(root)
@@ -262,7 +268,8 @@ class ImageFolderDataset:
         path, target = self.imgs[index]
         img = Image.open(path).convert('RGB')
         img = self.transform(img, self.rng)
-        return {'imgs': T.multiscale_pyramid(img, self.imsize),
+        return {'imgs': T.multiscale_pyramid(img, self.imsize,
+                                             as_uint8=self.uint8_output),
                 'cls': np.int64(target)}
 
     def __len__(self):
@@ -278,7 +285,9 @@ class LSUNClassDataset:
     """
 
     def __init__(self, db_path: str, base_size: int = 64,
-                 branch_num: int = 3, transform=None, seed: int = 0):
+                 branch_num: int = 3, transform=None, seed: int = 0,
+                 uint8_output: bool = False):
+        self.uint8_output = uint8_output
         try:
             import lmdb
         except ImportError as e:
@@ -309,7 +318,8 @@ class LSUNClassDataset:
             imgbuf = txn.get(self.keys[index])
         img = Image.open(io.BytesIO(imgbuf)).convert('RGB')
         img = self.transform(img, self.rng)
-        return {'imgs': T.multiscale_pyramid(img, self.imsize)}
+        return {'imgs': T.multiscale_pyramid(img, self.imsize,
+                                             as_uint8=self.uint8_output)}
 
     def __len__(self):
         return self.length
@@ -327,7 +337,8 @@ class SyntheticTextDataset:
                  branch_num: int = 2, entity_dim: int = 200,
                  text_dim: int = 1024, num_captions: int = 10,
                  is_coco: bool = False, train_pairs: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, uint8_output: bool = False):
+        self.uint8_output = uint8_output
         self.num_items = num_items
         self.imsize = [base_size * (2 ** i) for i in range(branch_num)]
         self.entity_dim = entity_dim
@@ -355,7 +366,11 @@ class SyntheticTextDataset:
         return np.clip(base * 0.8 + noise, -1, 1).astype(np.float32)
 
     def _pyramid(self, index: int) -> List[np.ndarray]:
-        return [self._image(index, s) for s in self.imsize]
+        imgs = [self._image(index, s) for s in self.imsize]
+        if self.uint8_output:
+            imgs = [np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)
+                    for im in imgs]
+        return imgs
 
     def _class_vector(self, index: int):
         if self.is_coco:

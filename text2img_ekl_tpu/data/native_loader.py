@@ -61,17 +61,20 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_ubyte),
             ctypes.c_int, ctypes.c_uint64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
         _lib = lib
         return lib
 
 
 class NativeDecoder:
-    """Batched JPEG -> multi-scale [-1,1] float32 pyramids, in C++ threads."""
+    """Batched JPEG -> multi-scale pyramids in C++ threads: [-1,1]
+    float32, or raw uint8 when ``uint8_output`` (the train step then
+    normalizes on-device — 4x less host bandwidth and H2D transfer)."""
 
     def __init__(self, sizes: Sequence[int], num_threads: int = 4,
-                 seed: int = 0):
+                 seed: int = 0, uint8_output: bool = False):
         self.sizes = list(sizes)
+        self.uint8_output = bool(uint8_output)
         self.lib = get_lib()
         arr = (ctypes.c_int * len(sizes))(*sizes)
         oversize = int(self.sizes[-1] * 76 / 64)
@@ -86,7 +89,8 @@ class NativeDecoder:
     def decode_batch(self, paths: Sequence[str],
                      bboxes: Optional[np.ndarray] = None,
                      train: bool = True, seed: int = 0) -> List[np.ndarray]:
-        """Returns [branch][n, s, s, 3] float32 arrays in [-1, 1]."""
+        """Returns [branch][n, s, s, 3] arrays: float32 in [-1, 1], or
+        raw uint8 when the decoder was built with ``uint8_output``."""
         n = len(paths)
         c_paths = (ctypes.c_char_p * n)(
             *[p.encode('utf-8') for p in paths])
@@ -96,15 +100,16 @@ class NativeDecoder:
         else:
             bb = np.zeros((n, 4), np.float32)
             has = np.zeros(n, np.uint8)
-        outs = [np.empty((n, s, s, 3), np.float32) for s in self.sizes]
-        out_ptrs = (ctypes.POINTER(ctypes.c_float) * len(outs))(
-            *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-              for o in outs])
+        dtype = np.uint8 if self.uint8_output else np.float32
+        outs = [np.empty((n, s, s, 3), dtype) for s in self.sizes]
+        out_ptrs = (ctypes.c_void_p * len(outs))(
+            *[o.ctypes.data_as(ctypes.c_void_p) for o in outs])
         failures = self.lib.t2i_decode_batch(
             self.handle, n, c_paths,
             bb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             has.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-            1 if train else 0, seed, out_ptrs)
+            1 if train else 0, seed, out_ptrs,
+            1 if self.uint8_output else 0)
         if failures:
             print('!! native decoder: %d/%d images failed (zero-filled)'
                   % (failures, n))

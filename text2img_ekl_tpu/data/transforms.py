@@ -102,14 +102,20 @@ def normalize_to_pm1(img: Image.Image) -> np.ndarray:
     return arr * 2.0 - 1.0
 
 
-def multiscale_pyramid(img: Image.Image, sizes: Sequence[int]) -> List[np.ndarray]:
+def multiscale_pyramid(img: Image.Image, sizes: Sequence[int],
+                       as_uint8: bool = False) -> List[np.ndarray]:
     """Per-branch resize + normalize (datasets.py:61-67): branches below the
-    top are Scale'd down; the top branch is the transformed image itself."""
+    top are Scale'd down; the top branch is the transformed image itself.
+
+    ``as_uint8`` keeps raw HWC uint8 pixels — the train step normalizes
+    on-device (x/127.5-1, bit-identical to ``normalize_to_pm1`` since
+    2/255 == 1/127.5), at 4x less host memory/H2D traffic."""
     out = []
     for i, s in enumerate(sizes):
         if i < len(sizes) - 1:
             re_img = scale_shorter_side(img, s)
         else:
             re_img = img
-        out.append(normalize_to_pm1(re_img))
+        out.append(np.asarray(re_img, dtype=np.uint8) if as_uint8
+                   else normalize_to_pm1(re_img))
     return out

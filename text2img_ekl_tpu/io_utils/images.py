@@ -17,6 +17,9 @@ from PIL import Image
 
 
 def _to_uint8(img: np.ndarray, normalize: bool = True) -> np.ndarray:
+    if img.dtype == np.uint8:
+        # already-quantized pixels (uint8 input-pipeline batches)
+        return img
     if normalize:
         lo, hi = img.min(), img.max()
         if hi > lo:

@@ -138,6 +138,19 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     def local_step(state: TrainState, batch: Dict[str, Any], rng):
         if coll_mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def _norm(x):
+            # uint8 host batches (cfg.TPU_UINT8_INPUT): normalize on
+            # device exactly as the host pipeline would — x/127.5-1 is
+            # bit-identical to ToTensor+Normalize(0.5,0.5) since
+            # 2/255 == 1/127.5 (reference datasets.py:190-192).
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 127.5 - 1.0
+            return x
+
+        batch = dict(batch)
+        batch['real'] = tuple(_norm(x) for x in batch['real'])
+        batch['wrong'] = tuple(_norm(x) for x in batch['wrong'])
         bsz = batch['real'][0].shape[0]
         k_noise, k_reparam, k_prior = jax.random.split(rng, 3)
         noise = jax.random.normal(k_noise, (bsz, z_dim), jnp.float32)
@@ -406,11 +419,19 @@ def make_synthetic_batch(cfg, batch_size: int, seed: int = 7):
     sizes = cfg.branch_sizes()
     ks = jax.random.split(jax.random.PRNGKey(seed), 8)
     n1 = cfg.GAN.ENTITY_DIM + 1
+
+    def img(k, s):
+        x = jnp.tanh(jax.random.normal(k, (B, s, s, 3)))
+        if getattr(cfg, 'TPU_UINT8_INPUT', False):
+            # match the production input schema (uint8 pyramids,
+            # normalized on-device at the step's entry) so benches and
+            # the dryrun gate exercise the shipped default
+            x = jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        return x
+
     batch = {
-        'real': tuple(jnp.tanh(jax.random.normal(ks[i], (B, s, s, 3)))
-                      for i, s in enumerate(sizes)),
-        'wrong': tuple(jnp.tanh(jax.random.normal(ks[i + 3], (B, s, s, 3)))
-                       for i, s in enumerate(sizes)),
+        'real': tuple(img(ks[i], s) for i, s in enumerate(sizes)),
+        'wrong': tuple(img(ks[i + 3], s) for i, s in enumerate(sizes)),
     }
     if cfg.DATASET_NAME == 'coco':
         multi = (jax.random.uniform(ks[6], (B, n1)) > 0.7).astype(jnp.float32)

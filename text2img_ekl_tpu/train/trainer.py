@@ -96,12 +96,14 @@ class CondGANTrainer:
                          num_shards=jax.process_count())
         transform = (build_train_transform(cfg.imsize) if cfg.TRAIN.FLAG
                      else build_eval_transform(cfg.imsize))
+        # raw uint8 pyramids, normalized on-device by the step
+        u8 = bool(getattr(cfg, 'TPU_UINT8_INPUT', False))
         if 'lsun' in cfg.DATA_DIR:
             from ..data import LSUNClassDataset
             ds = LSUNClassDataset(
                 '%s/%s_%s_lmdb' % (cfg.DATA_DIR, cfg.DATASET_NAME, split),
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
-                transform=transform)
+                transform=transform, uint8_output=u8)
             return DataLoader(ds, self.batch_size, **loader_kw)
         if 'imagenet' in cfg.DATA_DIR:
             from ..data import ImageFolderDataset
@@ -110,7 +112,7 @@ class CondGANTrainer:
                 cfg.DATA_DIR, split_dir='train',
                 custom_classes=CLASS_DIC.get(cfg.DATASET_NAME),
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
-                transform=transform)
+                transform=transform, uint8_output=u8)
             return DataLoader(ds, self.batch_size, **loader_kw)
         has_data = cfg.DATA_DIR and os.path.isdir(
             os.path.join(cfg.DATA_DIR, split))
@@ -124,13 +126,14 @@ class CondGANTrainer:
                 entity_dim=cfg.GAN.ENTITY_DIM, text_dim=cfg.TEXT.DIMENSION,
                 is_coco=self.is_coco if hasattr(self, 'is_coco')
                 else cfg.DATASET_NAME == 'coco',
-                train_pairs=cfg.TRAIN.FLAG)
+                train_pairs=cfg.TRAIN.FLAG, uint8_output=u8)
         else:
             ds = TextDataset(
                 cfg.DATA_DIR, split, cfg.EMBEDDING_TYPE,
                 base_size=cfg.TREE.BASE_SIZE, branch_num=cfg.TREE.BRANCH_NUM,
                 entity_dim=cfg.GAN.ENTITY_DIM, train_pairs=cfg.TRAIN.FLAG,
-                transform=transform, native_decode=cfg.TPU_NATIVE_DECODE)
+                transform=transform, native_decode=cfg.TPU_NATIVE_DECODE,
+                uint8_output=u8)
         return DataLoader(ds, self.batch_size, **loader_kw)
 
     # ------------------------------------------------------------------
@@ -139,10 +142,10 @@ class CondGANTrainer:
         cfg = self.cfg
         n1 = cfg.GAN.ENTITY_DIM + 1
         b = {
-            'real': tuple(np.asarray(x, np.float32)
-                          for x in host_batch['imgs']),
-            'wrong': tuple(np.asarray(x, np.float32)
-                           for x in host_batch['wrong_imgs']),
+            # keep the loader's dtype: uint8 pyramids ship 4x fewer H2D
+            # bytes and are normalized on-device at the step's entry
+            'real': tuple(np.asarray(x) for x in host_batch['imgs']),
+            'wrong': tuple(np.asarray(x) for x in host_batch['wrong_imgs']),
         }
         emb = np.asarray(host_batch['embedding'], np.float32)
         cls = host_batch['cls']
