@@ -55,10 +55,11 @@ def fabricate_cub(root: str, n: int) -> None:
 
 
 def run(root: str, n: int, bs: int, branch: int, native: bool,
-        workers: int) -> float:
+        workers: int, uint8: bool = False) -> float:
     from text2img_ekl_tpu.data import DataLoader, TextDataset
     ds = TextDataset(root, 'train', base_size=64, branch_num=branch,
-                     entity_dim=200, native_decode=native)
+                     entity_dim=200, native_decode=native,
+                     uint8_output=uint8)
     dl = DataLoader(ds, bs, shuffle=True, num_workers=workers)
     count = 0
     t0 = time.perf_counter()
@@ -81,12 +82,14 @@ def main():
         fabricate_cub(root, args.n)
         # warm both paths once (native lib build, page cache)
         run(root, args.n, args.bs, args.branch, native=False, workers=args.workers)
-        for native in (False, True):
+        for native, uint8 in ((False, False), (True, False),
+                              (False, True), (True, True)):
             ips = run(root, args.n, args.bs, args.branch, native=native,
-                      workers=args.workers)
+                      workers=args.workers, uint8=uint8)
             print(json.dumps({
                 'metric': 'loader_items_per_sec',
-                'path': 'native' if native else 'pil',
+                'path': ('native' if native else 'pil')
+                + ('+uint8' if uint8 else ''),
                 'value': round(ips, 1), 'bs': args.bs,
                 'branch_num': args.branch}))
 
