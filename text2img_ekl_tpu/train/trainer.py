@@ -476,6 +476,25 @@ class CondGANTrainer:
             cap_sampler = make_caption_sample_fn(
                 cfg, self.G, self.mesh,
                 train_mode=not cfg.TEST.EVAL_MODE, pattern=pattern)
+            # Data-parallel eval: commit the batch axis over the mesh so
+            # the all-caption call partitions across chips (the
+            # DataParallel role the reference's eval loop never had).
+            # XLA inserts the cross-device reductions for the train-mode
+            # BN statistics, so per-caption global-batch semantics are
+            # preserved. Single-device meshes stay uncommitted (the AOT
+            # SPMD pitfall, PERF.md #1); multi-host eval instead relies
+            # on the loader's process striding (each host samples and
+            # writes its own disjoint items).
+            shard_eval = (self.num_shards > 1
+                          and jax.process_count() == 1)
+            sh_cb = sh_b = sh_r = None
+            if shard_eval:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS
+                sh_cb = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                sh_b = NamedSharding(self.mesh, P(DATA_AXIS))
+                sh_r = NamedSharding(self.mesh, P())
 
         count = 0
         nid_base = 0
@@ -518,8 +537,16 @@ class CondGANTrainer:
 
                 n_cap = min(embedding_dim, embeddings.shape[1])
                 if use_batched:
+                    do_shard = shard_eval and bsz % self.num_shards == 0
+
+                    def put(x, sh):
+                        # commit over the mesh; numpy passthrough on a
+                        # single device / indivisible batch
+                        return (jax.device_put(x, sh) if do_shard
+                                else np.asarray(x))
+
                     # [B, C, E] -> [C, B, E] caption-major for the vmap
-                    emb_all = np.ascontiguousarray(
+                    emb_host = np.ascontiguousarray(
                         embeddings[:, :n_cap, :].transpose(1, 0, 2))
                     for j in range(sample_num):
                         keys = np.stack([_host_key(100, next(kseq))
@@ -534,21 +561,26 @@ class CondGANTrainer:
                             # one draw per batch shared by all captions
                             noise_all = np.broadcast_to(
                                 noise, (n_cap,) + noise.shape)
+                        if do_shard:
+                            keys = put(keys, sh_r)
+                            noise_all = put(noise_all, sh_cb)
                         if self.is_coco:
-                            cond_all = np.concatenate(
-                                [emb_all, np.broadcast_to(
+                            cond_all = put(np.concatenate(
+                                [emb_host, np.broadcast_to(
                                     np.asarray(cls, np.float32),
-                                    (n_cap,) + cls.shape)], axis=2)
+                                    (n_cap,) + cls.shape)], axis=2), sh_cb)
                             out = cap_sampler(g_vars, keys, noise_all,
                                               cond_all)
                         elif cls_share:
                             # netG(noise, emb, cls_prior=prior)
                             # (cub_trainer_splitz_cap_ca.py:876-877)
                             out = cap_sampler(g_vars, keys, noise_all,
-                                              emb_all, None, shared_prior)
+                                              put(emb_host, sh_cb), None,
+                                              put(shared_prior, sh_b))
                         else:
                             out = cap_sampler(g_vars, keys, noise_all,
-                                              emb_all, cls_onehot)
+                                              put(emb_host, sh_cb),
+                                              put(cls_onehot, sh_b))
                         if target is not None:
                             keep = min(n_cap, max(
                                 0, -(-(target - count) // bsz)))
