@@ -47,6 +47,16 @@ IS_THRESHOLD_CUB_GENERAL = 5.5
 IS_THRESHOLD_CUB_FINETUNED = 3.4
 
 
+class _NullLogger:
+    """Metrics sink for non-main processes in multi-host runs."""
+
+    def log_scalars(self, *a, **kw):
+        pass
+
+    def close(self):
+        pass
+
+
 def _host_key(stream: int, n: int) -> np.ndarray:
     """Distinct raw uint32[2] PRNG key built ON THE HOST. Equivalent to a
     fresh jax.random key per call, but with zero eager device ops —
@@ -61,13 +71,19 @@ class CondGANTrainer:
                  eval_data_loader=None):
         self.cfg = cfg
         self.output_dir = output_dir
+        # Multi-host: stdout / TensorBoard / epoch image grids come from
+        # process 0 only (checkpoint saves stay on every process — orbax
+        # multihost writes are collective); each process's evaluate()
+        # writes the PNGs of its own loader stride.
+        self.is_main = jax.process_index() == 0
         if cfg.TRAIN.FLAG:
             self.model_dir = os.path.join(output_dir, 'Model')
             self.image_dir = os.path.join(output_dir, 'Image')
             self.log_dir = os.path.join(output_dir, 'Log')
             for d in (self.model_dir, self.image_dir, self.log_dir):
                 os.makedirs(d, exist_ok=True)
-            self.logger = MetricsLogger(self.log_dir)
+            self.logger = (MetricsLogger(self.log_dir) if self.is_main
+                           else _NullLogger())
             self.ckpt = CheckpointManager(self.model_dir)
 
         self.mesh = make_mesh(cfg.TPU_DATA_PARALLEL)
@@ -264,28 +280,35 @@ class CondGANTrainer:
 
             elapsed = time.time() - start_t
             m = {k: float(v) for k, v in metrics.items()}
-            print('[%d/%d][BN=%d][%d stages]\n'
-                  '  Loss_D_all: %.2f match: %.2f uncond: %.2f cls: %.2f\n'
-                  '  Loss_G_all: %.2f match: %.2f uncond: %.2f cls: %.2f\n'
-                  '  KL_sen: %.2f KL_cls: %.2f  Time: %.2fs'
-                  % (epoch, cfg.TRAIN.MAX_EPOCH, self.num_batches,
-                     len(self.Ds), m.get('errD', 0), m.get('errD_match', 0),
-                     m.get('errD_uncond', 0), m.get('errD_cls', 0),
-                     m.get('errG', 0), m.get('errG_match', 0),
-                     m.get('errG_uncond', 0), m.get('errG_cls', 0),
-                     m.get('kl_sen', 0), m.get('kl_cls', 0), elapsed))
+            if self.is_main:
+                print('[%d/%d][BN=%d][%d stages]\n'
+                      '  Loss_D_all: %.2f match: %.2f uncond: %.2f cls: '
+                      '%.2f\n'
+                      '  Loss_G_all: %.2f match: %.2f uncond: %.2f cls: '
+                      '%.2f\n'
+                      '  KL_sen: %.2f KL_cls: %.2f  Time: %.2fs'
+                      % (epoch, cfg.TRAIN.MAX_EPOCH, self.num_batches,
+                         len(self.Ds), m.get('errD', 0),
+                         m.get('errD_match', 0), m.get('errD_uncond', 0),
+                         m.get('errD_cls', 0), m.get('errG', 0),
+                         m.get('errG_match', 0), m.get('errG_uncond', 0),
+                         m.get('errG_cls', 0), m.get('kl_sen', 0),
+                         m.get('kl_cls', 0), elapsed))
 
-            if last_batch is not None:
+            if last_batch is not None and self.is_main:
                 self._save_epoch_images(state, last_batch,
                                         _host_key(2, epoch), epoch)
             interval = cfg.TRAIN.SNAPSHOT_INTERVAL
             if epoch % interval == interval - 1 or epoch > 199:
                 self.ckpt.save(state, epoch)
-                print('Snapshot: save model ok')
+                if self.is_main:
+                    print('Snapshot: save model ok')
 
             if scorer is not None and scorer.count >= 3000:
                 mean, std = scorer.score(num_splits=1)
-                print('Epoch%d IS: %.3f +- %.3f' % (epoch, mean, std))
+                if self.is_main:
+                    print('Epoch%d IS: %.3f +- %.3f'
+                          % (epoch, mean, std))
                 self.logger.log_scalars(count, {'inception_score': mean})
                 if mean > threshold:
                     self.ckpt.save(state, epoch)
@@ -294,7 +317,8 @@ class CondGANTrainer:
                 # Per-epoch eval over >=1000 fresh samples with a save gate
                 # at 5.4 (cub_trainer_splitz_cap_ca.py:698-730).
                 mean = self._big_eval(state, _host_key(3, epoch), n=1000)
-                print('Epoch%d IS: %.3f' % (epoch, mean))
+                if self.is_main:
+                    print('Epoch%d IS: %.3f' % (epoch, mean))
                 if mean > 5.4:
                     self.ckpt.save(state, epoch)
                     print('Saved good model')
