@@ -51,3 +51,41 @@ def test_coco_batch_soft_targets(tmp_path):
     real_cp = np.asarray(batch['real_cp'])
     np.testing.assert_allclose(real_cp.sum(1), 1.0, rtol=1e-5)
     assert np.all(real_cp >= 0)
+
+
+def test_coco_evaluate_batched_cond_pattern(tmp_path):
+    """COCO evaluate through the all-caption vmapped sampler ('cond'
+    pattern: per-caption cond = cat(embedding, multi-hot)); writes the
+    reference-named single samples (cub_trainer_splitz_cap_ca.py:758)."""
+    import glob
+    import os
+
+    import jax
+    from text2img_ekl_tpu.data import DataLoader, SyntheticTextDataset
+    from text2img_ekl_tpu.train.state import create_train_state
+
+    cfg = cfg_from_file('%s/coco_2stgs.yml' % REF)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.FLAG = False
+    cfg.TEST.B_EXAMPLE = False
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_SYNTHETIC_DATA = True
+    cfg.TPU_DATA_PARALLEL = 1
+    cfg.WORKERS = 1
+    tr = CondGANTrainer(cfg, str(tmp_path))
+    ds = SyntheticTextDataset(num_items=4, base_size=64,
+                              branch_num=cfg.TREE.BRANCH_NUM,
+                              entity_dim=cfg.GAN.ENTITY_DIM,
+                              text_dim=cfg.TEXT.DIMENSION,
+                              is_coco=True, train_pairs=False)
+    tr.data_loader = DataLoader(ds, 2, shuffle=False, num_workers=1)
+    tr.num_batches = len(tr.data_loader)
+    state = create_train_state(cfg, tr.G, tr.Ds, jax.random.PRNGKey(0),
+                               tr.cond_width, mesh=tr.mesh)
+    save_dir = tr.evaluate('test', state=state, max_batches=1)
+    pngs = glob.glob(os.path.join(save_dir, 'single_samples', '**',
+                                  '*.png'), recursive=True)
+    assert len(pngs) == 20  # 2 items x 10 captions
+    assert all('_sid' in p and '_nid0' in p for p in pngs)

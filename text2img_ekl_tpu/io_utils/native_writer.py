@@ -78,7 +78,10 @@ def _get_writer():
             lib = _lib  # get_lib() was already called by the public entry
             threads = int(os.environ.get(
                 'T2I_WRITER_THREADS', min(4, os.cpu_count() or 1)))
-            level = int(os.environ.get('T2I_PNG_LEVEL', 6))
+            # zlib level 1 (still lossless): 2.3x faster 256px protocol
+            # writes than PIL's default 6 (PERF.md); the files are
+            # transient IS/FID inputs, size is secondary
+            level = int(os.environ.get('T2I_PNG_LEVEL', 1))
             _writer = ctypes.c_void_p(lib.t2i_writer_create(threads, level))
         return _writer
 

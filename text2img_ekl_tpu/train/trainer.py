@@ -552,6 +552,15 @@ class CondGANTrainer:
                     cls_onehot = np.eye(cfg.GAN.ENTITY_DIM,
                                         dtype=np.float32)[cls0]
                 bsz = embeddings.shape[0]
+                if self.is_coco:
+                    # filename class token: first active category id. The
+                    # reference's coco test path indexes its class dict
+                    # by position and crashes (SURVEY §5 "half-broken");
+                    # a deterministic per-item id keeps the reference
+                    # filename scheme meaningful.
+                    file_cls = np.asarray(cls).argmax(1) + 1
+                else:
+                    file_cls = cls
                 noise = np_rng.standard_normal(
                     (bsz, cfg.GAN.Z_DIM), dtype=np.float32)
                 if cls_share:
@@ -611,7 +620,7 @@ class CondGANTrainer:
                         else:
                             keep = n_cap
                         if keep:
-                            pending.append((out, data['key'], cls,
+                            pending.append((out, data['key'], file_cls,
                                             nid_base + j, keep))
                             count += bsz * keep
                         _drain(1)
