@@ -58,11 +58,12 @@ class _NullLogger:
 
 
 def _host_key(stream: int, n: int) -> np.ndarray:
-    """Distinct raw uint32[2] PRNG key built ON THE HOST. Equivalent to a
-    fresh jax.random key per call, but with zero eager device ops —
-    eager `split`/`normal` dispatch is ~100 ms/op through the tunneled
-    backend (PERF.md pitfall 3), which would otherwise tax every train
-    step and every sampler call in the eval loop."""
+    """Distinct raw uint32[2] PRNG key built ON THE HOST — a fresh
+    jax.random key per call with zero device ops (each unique eager op
+    costs a remote compile on first dispatch, tools/bench_dispatch.py),
+    and with keys derived from plain counters the training stream is
+    deterministic under resume (count comes from state.step), which a
+    carried split-chain was not."""
     return np.array([stream & 0xffffffff, n & 0xffffffff], dtype=np.uint32)
 
 
@@ -479,10 +480,10 @@ class CondGANTrainer:
         # is reached by re-passing the test loader with fresh noise ids.
         sample_num = 1
         # manualSeed=100 at eval (main.py:88). Noise is drawn on the HOST
-        # and sampler keys are host-built raw keys: the reference's eval
-        # loop spends nothing on RNG, while eager jax.random ops here
-        # would cost ~100 ms/op through the tunneled backend — 3 ops per
-        # caption made RNG the dominant eval cost (measured, PERF.md).
+        # and sampler keys are host-built raw keys — like the reference's
+        # eval loop, RNG costs nothing on the device and stays
+        # reproducible independent of device count (PERF.md "Offline
+        # sampling path").
         np_rng = np.random.default_rng(100)
         kseq = itertools.count()
         cls_share = cfg.TEST.CLS_PRIOR and cfg.TEST.CLS_SHARE
