@@ -335,11 +335,15 @@ int t2i_decode_batch(void* handle, int n, const char** paths,
                            out_bufs, out_uint8 != 0);
       if (rc != 0) {
         failures.fetch_add(1);
+        // failed slots fill as mid-gray in BOTH modes: f32 0.0, uint8
+        // 128 (-> 0.004 after the on-device x/127.5-1), keeping the
+        // two output modes' failure behavior equivalent
+        const int fill = out_uint8 ? 128 : 0;
         for (size_t b = 0; b < L->sizes.size(); ++b) {
           const int s = L->sizes[b];
           std::memset(static_cast<char*>(out_bufs[b]) +
                           static_cast<size_t>(i) * s * s * 3 * elt,
-                      0, static_cast<size_t>(s) * s * 3 * elt);
+                      fill, static_cast<size_t>(s) * s * 3 * elt);
         }
       }
     }

@@ -121,3 +121,71 @@ def test_native_decoder_uint8_parity(tmp_path):
         np.testing.assert_allclose(
             a, b.astype(np.float32) * np.float32(2.0 / 255.0) - 1.0,
             atol=1e-6)
+
+
+def test_gspmd_uint8_defaults_smoke():
+    """The gspmd fallback runs the SHIPPED numerics path (uint8 input +
+    bf16 BN defaults) on the 8-device mesh and loosely tracks the
+    single-device step — catches sharding-propagation regressions in
+    the uint8 entry normalize that the f32-pinned tight-tolerance
+    equivalence test cannot see."""
+    import jax
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.models import (build_discriminators,
+                                         build_generator)
+    from text2img_ekl_tpu.parallel import make_mesh, shard_batch
+    from text2img_ekl_tpu.train import create_train_state, make_train_step
+    from text2img_ekl_tpu.train.step import (cond_code_width,
+                                             make_synthetic_batch)
+
+    cfg = cfg_from_file(os.path.join(
+        REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml'))
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TPU_SPMD_MODE = 'gspmd'
+    # deliberately NOT pinning TPU_UINT8_INPUT / TPU_BN_DTYPE /
+    # TPU_COMPUTE_DTYPE: this is the shipped default config
+    mesh = make_mesh()
+    if mesh.devices.size < 8:
+        pytest.skip('needs the 8-device virtual mesh')
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    batch = make_synthetic_batch(cfg, 16)
+    assert batch['real'][0].dtype == np.uint8
+
+    s_g = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                             cond_code_width(cfg))
+    s_1 = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                             cond_code_width(cfg))
+    rng = np.array([5, 5], np.uint32)
+    _, mg, fg = make_train_step(cfg, G, Ds, mesh)(
+        s_g, shard_batch(mesh, batch), rng)
+    _, m1, f1 = make_train_step(cfg, G, Ds, None)(s_1, batch, rng)
+    for k in mg:
+        a, b = float(mg[k]), float(m1[k])
+        assert np.isfinite(a) and np.isfinite(b), k
+        # bf16 rounding differs across program partitions; same ballpark
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-2, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fg, np.float32),
+                               np.asarray(f1, np.float32), atol=0.25)
+
+
+@pytest.mark.skipif(
+    not os.path.exists('/root/repo/native/dataloader.cpp'),
+    reason='native source missing')
+def test_native_decoder_failure_fill_parity(tmp_path):
+    """Failed decodes fill as mid-gray in BOTH output modes (f32 0.0,
+    uint8 128 -> ~0.004 after the on-device normalize)."""
+    try:
+        from text2img_ekl_tpu.data.native_loader import NativeDecoder
+        NativeDecoder([32])
+    except Exception:
+        pytest.skip('native loader unavailable')
+    missing = [str(tmp_path / 'nope.jpg')]
+    f = NativeDecoder([32]).decode_batch(missing, train=False, seed=0)
+    u = NativeDecoder([32], uint8_output=True).decode_batch(
+        missing, train=False, seed=0)
+    np.testing.assert_array_equal(f[0], 0.0)
+    np.testing.assert_array_equal(u[0], 128)

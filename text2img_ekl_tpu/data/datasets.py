@@ -368,8 +368,8 @@ class SyntheticTextDataset:
     def _pyramid(self, index: int) -> List[np.ndarray]:
         imgs = [self._image(index, s) for s in self.imsize]
         if self.uint8_output:
-            imgs = [np.clip((im + 1.0) * 127.5, 0, 255).astype(np.uint8)
-                    for im in imgs]
+            from ..io_utils.images import pm1_to_uint8
+            imgs = [pm1_to_uint8(im) for im in imgs]
         return imgs
 
     def _class_vector(self, index: int):

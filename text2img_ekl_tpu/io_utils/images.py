@@ -16,6 +16,14 @@ import numpy as np
 from PIL import Image
 
 
+def pm1_to_uint8(x: np.ndarray) -> np.ndarray:
+    """[-1,1] floats -> uint8 pixels. THE host-side quantization; the
+    device-side twin is train/step.py:_pm1_to_uint8_dev (parity asserted
+    by tests/test_train_step.py::test_caption_sampler_matches_looped_calls
+    and tests/test_native_writer.py) — change both together."""
+    return np.clip((np.asarray(x) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+
 def _to_uint8(img: np.ndarray, normalize: bool = True) -> np.ndarray:
     if img.dtype == np.uint8:
         # already-quantized pixels (uint8 input-pipeline batches)
@@ -78,8 +86,7 @@ def save_single_images(images: np.ndarray, filenames: Sequence[str],
     if batch.dtype != np.uint8:
         # [-1,1] floats; uint8 input means the caller already quantized
         # (the eval loop quantizes on device to shrink the D2H transfer)
-        batch = np.clip((batch + 1.0) / 2.0 * 255.0,
-                        0, 255).astype(np.uint8)
+        batch = pm1_to_uint8(batch)
     if os.environ.get('T2I_NATIVE_WRITE', '1') == '1':
         try:
             from .native_writer import write_png_batch

@@ -426,7 +426,7 @@ def make_synthetic_batch(cfg, batch_size: int, seed: int = 7):
             # match the production input schema (uint8 pyramids,
             # normalized on-device at the step's entry) so benches and
             # the dryrun gate exercise the shipped default
-            x = jnp.clip((x + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+            x = _pm1_to_uint8_dev(x)
         return x
 
     batch = {
@@ -446,6 +446,14 @@ def make_synthetic_batch(cfg, batch_size: int, seed: int = 7):
         batch['cls_onehot'] = jax.nn.one_hot(cls, cfg.GAN.ENTITY_DIM)
         batch['real_cp'] = jax.nn.one_hot(cls, n1)
     return batch
+
+
+def _pm1_to_uint8_dev(x):
+    """[-1,1] -> uint8 pixels on device. Device-side twin of
+    io_utils.images.pm1_to_uint8 — change both together (parity tests
+    tie them)."""
+    return jnp.clip((x.astype(jnp.float32) + 1.0) * 127.5,
+                    0, 255).astype(jnp.uint8)
 
 
 def _sample_core(G, train_mode: bool):
@@ -508,8 +516,7 @@ def make_caption_sample_fn(cfg, G, mesh: Mesh = None,
 
     def one(g_variables, rng, noise, *cond_args):
         img = core(g_variables, rng, noise, *cond_args)[-1]
-        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5,
-                        0, 255).astype(jnp.uint8)
+        return _pm1_to_uint8_dev(img)
 
     in_axes = {
         'cond': (None, 0, 0, 0),

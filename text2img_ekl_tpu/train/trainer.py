@@ -257,7 +257,9 @@ class CondGANTrainer:
                         os.path.join(self.log_dir, 'profile'))
                 state, metrics, step_fakes = step_fn(state, batch, step_rng)
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 7:
-                    jax.block_until_ready(state.g_params)
+                    # sync by VALUE fetch: block_until_ready is a no-op
+                    # on the tunneled backend (PERF.md pitfall 2)
+                    float(metrics['errG'])
                     jax.profiler.stop_trace()
                 count += 1
                 total_steps += 1
@@ -296,7 +298,9 @@ class CondGANTrainer:
                          m.get('errG_cls', 0), m.get('kl_sen', 0),
                          m.get('kl_cls', 0), elapsed))
 
-            if last_batch is not None and self.is_main:
+            if last_batch is not None:
+                # every process joins (the sampler forward is an SPMD
+                # collective on multi-host); only process 0 writes files
                 self._save_epoch_images(state, last_batch,
                                         _host_key(2, epoch), epoch)
             interval = cfg.TRAIN.SNAPSHOT_INTERVAL
@@ -434,13 +438,30 @@ class CondGANTrainer:
         mean, _ = scorer.score(num_splits=1)
         return mean
 
+    @staticmethod
+    def _host_local(arr) -> np.ndarray:
+        """Process-local rows of a (possibly multi-host-sharded) array —
+        np.asarray on a cross-host jax.Array raises; the grids only need
+        this host's slice."""
+        if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+            return np.concatenate(
+                [np.asarray(s.data) for s in arr.addressable_shards],
+                axis=0)
+        return np.asarray(arr)
+
     def _save_epoch_images(self, state, batch, rng, epoch):
-        num = min(self.cfg.TRAIN.VIS_COUNT, batch['real'][-1].shape[0])
-        real = np.asarray(batch['real'][-1])[:num]
-        save_image_grid(real, '%s/real_samples.png' % self.image_dir)
+        # the sampler forward is collective on multi-host meshes — EVERY
+        # process must execute it; only process 0 touches the filesystem
         fakes = self._sample_like(state, batch, rng)
+        if not self.is_main:
+            for f in fakes:
+                self._host_local(f)  # participate in any cross-host fetch
+            return
+        real = self._host_local(batch['real'][-1])
+        num = min(self.cfg.TRAIN.VIS_COUNT, real.shape[0])
+        save_image_grid(real[:num], '%s/real_samples.png' % self.image_dir)
         for i, f in enumerate(fakes):
-            save_image_grid(np.asarray(f)[:num],
+            save_image_grid(self._host_local(f)[:num],
                             '%s/epoch_%03d_fake_samples%d.png'
                             % (self.image_dir, epoch, i))
 
