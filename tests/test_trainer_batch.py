@@ -89,3 +89,43 @@ def test_coco_evaluate_batched_cond_pattern(tmp_path):
                                   '*.png'), recursive=True)
     assert len(pngs) == 20  # 2 items x 10 captions
     assert all('_sid' in p and '_nid0' in p for p in pngs)
+
+
+def test_evaluate_b_example_super_grids(tmp_path):
+    """TEST.B_EXAMPLE=True keeps the per-caption sampler and writes 10-
+    caption super grids instead of single samples
+    (cub_trainer_splitz_cap_ca.py:902-908)."""
+    import glob
+    import os
+
+    import jax
+    from text2img_ekl_tpu.data import DataLoader, SyntheticTextDataset
+    from text2img_ekl_tpu.train.state import create_train_state
+
+    cfg = cfg_from_file('%s/birds_2stg_splitz_cap_ca.realcls.yml' % REF)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TRAIN.FLAG = False
+    cfg.TEST.B_EXAMPLE = True
+    cfg.TEST.G_CAPSULE = True
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_SYNTHETIC_DATA = True
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TPU_DATA_PARALLEL = 1
+    cfg.WORKERS = 1
+    tr = CondGANTrainer(cfg, str(tmp_path))
+    ds = SyntheticTextDataset(num_items=4, base_size=64, branch_num=2,
+                              entity_dim=cfg.GAN.ENTITY_DIM,
+                              text_dim=cfg.TEXT.DIMENSION,
+                              train_pairs=False)
+    tr.data_loader = DataLoader(ds, 2, shuffle=False, num_workers=1)
+    tr.num_batches = len(tr.data_loader)
+    state = create_train_state(cfg, tr.G, tr.Ds, jax.random.PRNGKey(0),
+                               tr.cond_width, mesh=tr.mesh)
+    save_dir = tr.evaluate('test', state=state, max_batches=1)
+    grids = glob.glob(os.path.join(save_dir, 'super', '**', '*.png'),
+                      recursive=True)
+    singles = glob.glob(os.path.join(save_dir, 'single_samples', '**',
+                                     '*.png'), recursive=True)
+    assert len(grids) == 2 and not singles  # one grid per batch item
