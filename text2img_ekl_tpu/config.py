@@ -168,6 +168,14 @@ class Config:
     # condition concat (default; +8.6% on the flagship step, PERF.md);
     # False = the materialized-concat formulation. Parameters identical.
     TPU_SPLIT_JOINTCONV: bool = True
+    # UpBlock: fold the nearest-2x upsample into the conv weights
+    # (conv3x3(up2x(x)) == depth_to_space(conv3x3(x, W4)) with W4 built
+    # from 2D partial sums of W per output parity — exact rewrite,
+    # parameters identical). Reads x once instead of the 4x-materialized
+    # upsample; the layer-level fwd+bwd measured 12% faster while fwd
+    # alone is slower (relayout cost), so the fold applies to train-mode
+    # calls only. See PERF.md "Subpixel upsample-conv".
+    TPU_SUBPIXEL_UP: bool = False
     # xla_tpu_scoped_vmem_limit_kib for the fused train step (0 = compiler
     # default). Conv emitters budget their scratch against this; the v5e's
     # physical VMEM is far above the default (PERF.md).

@@ -488,6 +488,8 @@ def _apply_bn_dtype_policy(cfg) -> None:
         getattr(cfg, 'TPU_SPLIT_JOINTCONV', True))
     blocks.FUSED_BN_GLU = bool(
         getattr(cfg, 'TPU_FUSED_BN_GLU', False))
+    blocks.SUBPIXEL_UP = bool(
+        getattr(cfg, 'TPU_SUBPIXEL_UP', False))
 
 
 def build_generator(cfg, train_flag: bool = True) -> nn.Module:

@@ -67,6 +67,12 @@ BN_DTYPE = jnp.float32
 # TPU_SPLIT_JOINTCONV before model construction (generator.py applies it).
 SPLIT_JOINT_CONV = True
 
+# UpBlock upsample-conv formulation: True = fold the nearest-2x upsample
+# into the conv weights (exact rewrite, see _SubpixelUpConv3x3; applies
+# to train-mode calls only — forward-only sampling measured slower).
+# Set via config TPU_SUBPIXEL_UP before model construction.
+SUBPIXEL_UP = False
+
 # BatchNorm running-average momentum (torch default 0.1 "new fraction" ==
 # flax momentum 0.9). The grouped-D running-average combination in
 # train/step.py depends on this exact value — keep them in sync through
@@ -233,19 +239,82 @@ class _JointConv3x3(nn.Module):
         return y + full_c
 
 
-class Conv3x3(nn.Module):
-    """3x3 stride-1 pad-1 bias-free conv (reference: model.py:79-82).
+def fold_up2x_kernel(W):
+    """(3, 3, C, F) -> (3, 3, C, 4F): fold a preceding nearest-2x upsample
+    into the conv weights, one parity block per output pixel
+    (di, dj) in {0,1}^2.
 
-    ``c_vec`` switches to the joint-conv form: the conv runs over
-    ``concat(tile(c_vec, HxW), x)`` channel-wise (condition first, as the
-    reference concatenates) via the tile-free exact rewrite above.
+    For parity di the 3-tap window over the upsampled rows collapses onto
+    a 2-tap window over the original rows with partial-sum taps
+    (di=0: {offset -1: W[0], offset 0: W[1]+W[2]};
+     di=1: {offset 0: W[0]+W[1], offset +1: W[2]}), columns identically,
+    so conv3x3(up2x(x), W) == depth_to_space(conv3x3(x, W4), 2) exactly
+    (incl. the zero-padded borders — parity-asserted by
+    tools/bench_subpixel_up.py and tests/test_subpixel_up.py).
+    """
+    row_groups = {0: [(0, [0]), (1, [1, 2])], 1: [(1, [0, 1]), (2, [2])]}
+    blocks = []
+    for di in (0, 1):
+        for dj in (0, 1):
+            K = jnp.zeros_like(W)
+            for ri, taps_r in row_groups[di]:
+                for ci, taps_c in row_groups[dj]:
+                    s = sum(W[ky, kx] for ky in taps_r for kx in taps_c)
+                    K = K.at[ri, ci].add(s)
+            blocks.append(K)
+    return jnp.concatenate(blocks, axis=-1)
+
+
+class _SubpixelUpConv3x3(nn.Module):
+    """``conv3x3(up2x(x))`` with the upsample folded into the weights
+    (exact rewrite — see fold_up2x_kernel). Reads ``x`` once instead of
+    the 4x-materialized nearest-upsample copy, and the weight-gradient
+    conv contracts over the SMALL spatial grid with 4x output channels —
+    much better MXU geometry than the C-underfilled dW convs the profile
+    flagged at 128/256px (PERF.md, 3-stage profile). The parameter
+    ('kernel', (3,3,C,F), orthogonal init, same scope path) is
+    byte-identical to the nn.Conv it replaces, so checkpoints and init
+    RNG streams are unchanged.
     """
 
     features: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param('kernel', orthogonal_init,
+                            (3, 3, c, self.features), jnp.float32)
+        w4 = fold_up2x_kernel(kernel).astype(self.dtype)
+        y4 = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w4, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        b, h, w, _ = y4.shape
+        f = self.features
+        y = y4.reshape(b, h, w, 2, 2, f).transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(b, 2 * h, 2 * w, f)
+
+
+class Conv3x3(nn.Module):
+    """3x3 stride-1 pad-1 bias-free conv (reference: model.py:79-82).
+
+    ``c_vec`` switches to the joint-conv form: the conv runs over
+    ``concat(tile(c_vec, HxW), x)`` channel-wise (condition first, as the
+    reference concatenates) via the tile-free exact rewrite above.
+    ``fold_up2x`` computes ``conv3x3(up2x(x))`` with the upsample folded
+    into the weights (caller must NOT pre-upsample).
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    fold_up2x: bool = False
+
+    @nn.compact
     def __call__(self, x, c_vec=None):
+        if self.fold_up2x:
+            assert c_vec is None, 'fold_up2x and joint-conv are exclusive'
+            return _SubpixelUpConv3x3(self.features, dtype=self.dtype,
+                                      name='Conv_0')(x)
         if c_vec is not None:
             return _JointConv3x3(self.features, dtype=self.dtype,
                                  name='Conv_0')(x, c_vec)
@@ -306,8 +375,16 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = upsample_nearest_2x(x)
-        x = Conv3x3(self.features * 2, dtype=self.dtype)(x)
+        # SUBPIXEL_UP folds the upsample into the conv weights (exact
+        # rewrite, identical parameters). Train-mode only: the fwd+bwd
+        # pair wins (the dW/dx convs run at the small grid with 4x
+        # channels) while a forward alone pays the depth-to-space
+        # relayout without the backward savings (PERF.md).
+        fold = SUBPIXEL_UP and train
+        if not fold:
+            x = upsample_nearest_2x(x)
+        x = Conv3x3(self.features * 2, dtype=self.dtype,
+                    fold_up2x=fold)(x)
         return bn_glu(x, train, self.dtype)
 
 

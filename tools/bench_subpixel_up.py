@@ -27,19 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_w4(W):
-    """(3,3,C,F) -> (3,3,C,4F) with parity blocks [di*2+dj] stacked."""
-    import jax.numpy as jnp
-    row_groups = {0: [(0, [0]), (1, [1, 2])], 1: [(1, [0, 1]), (2, [2])]}
-    blocks = []
-    for di in (0, 1):
-        for dj in (0, 1):
-            K = jnp.zeros_like(W)
-            for ri, taps_r in row_groups[di]:
-                for ci, taps_c in row_groups[dj]:
-                    s = sum(W[ky, kx] for ky in taps_r for kx in taps_c)
-                    K = K.at[ri, ci].add(s)
-            blocks.append(K)
-    return jnp.concatenate(blocks, axis=-1)  # (3,3,C,4F)
+    """(3,3,C,F) -> (3,3,C,4F) with parity blocks [di*2+dj] stacked.
+    The shipped builder (blocks.fold_up2x_kernel backs TPU_SUBPIXEL_UP)."""
+    from text2img_ekl_tpu.nn.blocks import fold_up2x_kernel
+    return fold_up2x_kernel(W)
 
 
 def main():
