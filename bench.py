@@ -53,6 +53,8 @@ def main():
         cfg.TPU_BN_DTYPE = os.environ['BENCH_BN_DTYPE']
     if os.environ.get('BENCH_FUSED_BN_GLU'):
         cfg.TPU_FUSED_BN_GLU = os.environ['BENCH_FUSED_BN_GLU'] == '1'
+    if os.environ.get('BENCH_SUBPIXEL_UP'):
+        cfg.TPU_SUBPIXEL_UP = os.environ['BENCH_SUBPIXEL_UP'] == '1'
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

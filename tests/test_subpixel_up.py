@@ -140,3 +140,50 @@ def test_full_generator_fold_matches_plain(restore_flag):
         outs[fold] = np.asarray(imgs[-1], np.float32)
     np.testing.assert_allclose(outs[True], outs[False],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_full_train_step_fold_matches_plain(restore_flag):
+    """ONE fused G+D train step with the flag on == off: same losses,
+    same updated params, same fakes (f32 numerics path — the fold is an
+    exact rewrite, so the whole training trajectory must be preserved
+    before the default can ever flip)."""
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.models import (build_discriminators,
+                                         build_generator)
+    from text2img_ekl_tpu.train import create_train_state, make_train_step
+    from text2img_ekl_tpu.train.step import (cond_code_width,
+                                             make_synthetic_batch)
+    cfg = cfg_from_file(
+        '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    # tight tolerance needs the f32 numerics path (see
+    # test_train_step.py::test_gspmd_mode_matches_single_device)
+    cfg.TPU_UINT8_INPUT = False
+    cfg.TPU_BN_DTYPE = 'float32'
+
+    results = {}
+    for fold in (False, True):
+        cfg.TPU_SUBPIXEL_UP = fold
+        G = build_generator(cfg)  # applies the module-level flag
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                   cond_code_width(cfg))
+        step = make_train_step(cfg, G, Ds, None)
+        batch = make_synthetic_batch(cfg, 4)
+        new_state, metrics, fakes = step(state, batch,
+                                         jax.random.PRNGKey(1))
+        results[fold] = dict(
+            metrics={k: float(v) for k, v in metrics.items()},
+            g1=np.asarray(jax.tree.leaves(new_state.g_params)[0]),
+            fakes=np.asarray(fakes))
+    for k, v in results[False]['metrics'].items():
+        np.testing.assert_allclose(results[True]['metrics'][k], v,
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(results[True]['g1'], results[False]['g1'],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(results[True]['fakes'],
+                               results[False]['fakes'], atol=1e-4)
