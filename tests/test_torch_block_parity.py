@@ -169,6 +169,23 @@ def test_upblock_matches_torch_chain():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_orthogonal_init_matches_torch_semantics():
+    """The reference initializes conv/linear weights with
+    torch.nn.init.orthogonal_ (trainer.py:63-73), which orthonormalizes
+    the rows of the (O, I*kh*kw) matricization. Our orthogonal_init
+    (column_axis=-1 on the (kh,kw,I,O) kernel) orthonormalizes the
+    columns of the (kh*kw*I, O) flattening — the same property on the
+    same matricization, transposed."""
+    from text2img_ekl_tpu.nn.blocks import orthogonal_init
+    k = orthogonal_init(jax.random.PRNGKey(0), (3, 3, 16, 8), jnp.float32)
+    M = np.asarray(k).reshape(-1, 8)
+    np.testing.assert_allclose(M.T @ M, np.eye(8), atol=1e-5)
+    w = torch.empty(8, 16, 3, 3)
+    torch.nn.init.orthogonal_(w)
+    W = w.numpy().reshape(8, -1)
+    np.testing.assert_allclose(W @ W.T, np.eye(8), atol=1e-5)
+
+
 def test_downblock_matches_torch_chain():
     """downBlock (reference model.py:822-828): conv4x4s2 -> BN ->
     LeakyReLU(0.2)."""
