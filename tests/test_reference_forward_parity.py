@@ -1,0 +1,282 @@
+"""Forward parity against the REFERENCE'S OWN torch modules.
+
+Imports `/root/reference/model.py` (read-only, with the unavailable
+capsule_layer pip package stubbed — the classes under test don't call
+it), transplants the real modules' state_dicts through our converters,
+and asserts the forwards agree at f32. This closes the loop the
+fabricated-state_dict importer tests can't: the *actual* upstream
+implementation computes the same function as ours.
+
+Deterministic surfaces only (encode paths and the full joint-D forward);
+the reparameterization draws differ by RNG stream design.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+
+REF = '/root/reference'
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, 'model.py')),
+    reason='reference repo not mounted')
+
+
+@pytest.fixture(scope='module')
+def ref():
+    """(reference model module, reference cfg singleton) with tiny dims."""
+    # stub easydict (not installed; miscc/config.py needs only
+    # attribute-style set/get on nested dicts)
+    if 'easydict' not in sys.modules:
+        ed = types.ModuleType('easydict')
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules['easydict'] = ed
+    # stub torchvision (not installed; only INCEPTION_V3.__init__ touches
+    # it, model.py:18-26, and these tests never instantiate that class)
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv.models = types.ModuleType('torchvision.models')
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.models'] = tv.models
+    # stub the capsule_layer pip package (ships CUDA kernels; not
+    # installed here — model.py imports it at module level, model.py:12)
+    if 'capsule_layer' not in sys.modules:
+        cap = types.ModuleType('capsule_layer')
+        mods = types.ModuleType('capsule_layer.modules')
+
+        class _CapsuleLinear(torch.nn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+        mods.CapsuleLinear = _CapsuleLinear
+        cap.modules = mods
+        sys.modules['capsule_layer'] = cap
+        sys.modules['capsule_layer.modules'] = mods
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from miscc.config import cfg as ref_cfg
+    import model as ref_model
+    ref_cfg.CUDA = False
+    ref_cfg.TEXT.DIMENSION = 12
+    ref_cfg.GAN.EMBEDDING_DIM = 8
+    ref_cfg.GAN.Z_DIM = 6
+    ref_cfg.GAN.MANIFD_DIM = 5
+    ref_cfg.GAN.DF_DIM = 16
+    ref_cfg.GAN.ENTITY_DIM = 5
+    ref_cfg.TRAIN.CAT_Z = 'concat'
+    return ref_model, ref_cfg
+
+
+def _np(t):
+    return np.array(t.detach().numpy())
+
+
+def _set_leaves(vs, mapping):
+    """Replace flattened-tree leaves by path suffix."""
+    import flax
+    flat = dict(flax.traverse_util.flatten_dict(vs))
+    for path, val in mapping.items():
+        assert path in flat, (path, sorted(flat)[:10])
+        assert flat[path].shape == val.shape, (path, flat[path].shape,
+                                               val.shape)
+        flat[path] = jnp.asarray(val)
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def test_ca_net_encode_matches_reference(ref):
+    ref_model, _ = ref
+    from text2img_ekl_tpu.nn.conditioning import CANet
+    tnet = ref_model.CA_NET()  # fc: Linear(12, 32) + GLU
+    emb = np.random.default_rng(0).normal(size=(3, 12)).astype(np.float32)
+    mu_t, lv_t = tnet.encode(torch.tensor(emb))
+
+    m = CANet(ef_dim=8, dtype=jnp.float32)
+    vs = m.init({'params': jax.random.PRNGKey(0),
+                 'reparam': jax.random.PRNGKey(1)}, jnp.asarray(emb))
+    vs = _set_leaves(vs, {
+        ('params', 'Dense_0', 'Dense_0', 'kernel'): _np(tnet.fc.weight).T,
+        ('params', 'Dense_0', 'Dense_0', 'bias'): _np(tnet.fc.bias)})
+    _, mu, lv, _ = m.apply(vs, jnp.asarray(emb),
+                           rngs={'reparam': jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(mu), _np(mu_t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lv), _np(lv_t),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_vc_net_encode_matches_reference(ref):
+    ref_model, _ = ref
+    from text2img_ekl_tpu.nn import blocks
+    from text2img_ekl_tpu.nn.conditioning import VCNet
+    tnet = ref_model.VC_NET(cond_dim=4)
+    tnet.train()
+    rng = np.random.default_rng(1)
+    noise = rng.normal(size=(4, 6)).astype(np.float32)
+    cond = rng.normal(size=(4, 4)).astype(np.float32)
+    mu_t, lv_t = tnet.encode(torch.tensor(np.concatenate([noise, cond], 1)))
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = VCNet(manifd_dim=5, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0),
+                     'reparam': jax.random.PRNGKey(1)},
+                    jnp.asarray(noise), jnp.asarray(cond), train=True)
+        mapping = {}
+        for i, fc in enumerate([tnet.fc1, tnet.fc2, tnet.fc31, tnet.fc32]):
+            mapping[('params', 'Dense_%d' % i, 'Dense_0', 'kernel')] = \
+                _np(fc.weight).T
+            mapping[('params', 'Dense_%d' % i, 'Dense_0', 'bias')] = \
+                _np(fc.bias)
+        for i, bn in enumerate([tnet.bn_fc1, tnet.bn_fc2]):
+            mapping[('params', 'BatchNorm_%d' % i, 'BatchNorm_0',
+                     'scale')] = _np(bn.weight)
+            mapping[('params', 'BatchNorm_%d' % i, 'BatchNorm_0',
+                     'bias')] = _np(bn.bias)
+        vs = _set_leaves(vs, mapping)
+        (_, mu, lv, _), _ = m.apply(
+            vs, jnp.asarray(noise), jnp.asarray(cond), train=True,
+            rngs={'reparam': jax.random.PRNGKey(2)},
+            mutable=['batch_stats'])
+    finally:
+        blocks.BN_DTYPE = old
+    np.testing.assert_allclose(np.asarray(mu), _np(mu_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv), _np(lv_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_next_stage_g_and_torgb_match_reference(ref):
+    """The reference NEXT_STAGE_G (tile + concat jointConv + ResBlocks +
+    upBlock, model.py:379-423) and GET_IMAGE_G (model.py:426-437) vs our
+    NextStageG (running the tile-free split jointConv rewrite) and ToRGB
+    with transplanted weights."""
+    ref_model, ref_cfg = ref
+    from text2img_ekl_tpu.models.generator import NextStageG, ToRGB
+    from text2img_ekl_tpu.nn import blocks
+
+    ref_cfg.GAN.B_CONDITION = True  # ef_dim = EMBEDDING_DIM*2 under concat
+    ref_cfg.TREE.SCALE = 2
+    torch.manual_seed(4)
+    ngf, efg = 8, 16
+    tnet = ref_model.NEXT_STAGE_G(ngf, num_residual=2)
+    tnet.train()
+    timg = ref_model.GET_IMAGE_G(ngf // 2)
+    rng = np.random.default_rng(3)
+    h = rng.normal(size=(2, 8, 8, ngf)).astype(np.float32)
+    c = rng.normal(size=(2, efg)).astype(np.float32)
+    out_t = tnet(torch.tensor(np.ascontiguousarray(
+        np.transpose(h, (0, 3, 1, 2)))), torch.tensor(c))
+    img_t = timg(out_t)
+
+    def convbn(mapping, prefix, tconv, tbn):
+        mapping[('params',) + prefix + ('Conv3x3_0', 'Conv_0', 'kernel')] \
+            = _np(tconv.weight).transpose(2, 3, 1, 0)
+        bnp = ('params',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+        bns = ('batch_stats',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+        mapping[bnp + ('scale',)] = _np(tbn.weight)
+        mapping[bnp + ('bias',)] = _np(tbn.bias)
+        mapping[bns + ('mean',)] = _np(tbn.running_mean)
+        mapping[bns + ('var',)] = _np(tbn.running_var)
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = NextStageG(ngf, efg, num_residual=2, scale=2, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(h),
+                    jnp.asarray(c), train=True)
+        mapping = {}
+        convbn(mapping, ('jointConv',), tnet.jointConv[0], tnet.jointConv[1])
+        for i in range(2):
+            blk = tnet.residual[i].block
+            convbn(mapping, ('residual_%d' % i,), blk[0], blk[1])
+            mapping[('params', 'residual_%d' % i, 'Conv3x3_1', 'Conv_0',
+                     'kernel')] = _np(blk[3].weight).transpose(2, 3, 1, 0)
+            bnp = ('params', 'residual_%d' % i, 'BatchNorm_1', 'BatchNorm_0')
+            bns = ('batch_stats', 'residual_%d' % i, 'BatchNorm_1',
+                   'BatchNorm_0')
+            mapping[bnp + ('scale',)] = _np(blk[4].weight)
+            mapping[bnp + ('bias',)] = _np(blk[4].bias)
+            mapping[bns + ('mean',)] = _np(blk[4].running_mean)
+            mapping[bns + ('var',)] = _np(blk[4].running_var)
+        convbn(mapping, ('upsample',), tnet.upsample[1], tnet.upsample[2])
+        vs = _set_leaves(vs, mapping)
+        out, _ = m.apply(vs, jnp.asarray(h), jnp.asarray(c), train=True,
+                         mutable=['batch_stats'])
+
+        mi = ToRGB(ngf // 2, dtype=jnp.float32)
+        vsi = mi.init({'params': jax.random.PRNGKey(1)}, out)
+        vsi = _set_leaves(vsi, {
+            ('params', 'Conv3x3_0', 'Conv_0', 'kernel'):
+                _np(timg.img[0].weight).transpose(2, 3, 1, 0)})
+        img = mi.apply(vsi, out)
+    finally:
+        blocks.BN_DTYPE = old
+    np.testing.assert_allclose(
+        np.asarray(out), _np(out_t).transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(img), _np(img_t).transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('imsize', [64, 128])
+def test_joint_d_forward_matches_reference(ref, imsize):
+    """The reference JOINT_D_NET{64,128} (model.py:918-977, 1054-1121)
+    and our JointDNet compute the same three heads, with the real
+    module's state_dict moved through torch_joint_d_to_flax."""
+    ref_model, _ = ref
+    from text2img_ekl_tpu.io_utils.torch_import import torch_joint_d_to_flax
+    from text2img_ekl_tpu.models.discriminator import JointDNet
+    from text2img_ekl_tpu.nn import blocks
+
+    cls = getattr(ref_model, 'JOINT_D_NET%d' % imsize)
+    torch.manual_seed(3)
+    tnet = cls(use_cap=False)
+    tnet.train()
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, imsize, imsize, 3)).astype(np.float32) * 0.5
+    c = rng.normal(size=(2, 16)).astype(np.float32)
+    # ascontiguousarray: a transposed numpy view hands torch channels-last
+    # strides, and the reference's old-torch `.view` calls (model.py:974)
+    # reject the resulting non-contiguous conv outputs on modern torch
+    sen_t, real_t, cp_t = tnet(
+        torch.tensor(np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2)))),
+        torch.tensor(c))
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = JointDNet(ndf=16, ef_dim=16, entity_dim=5, imsize=imsize,
+                      use_cap=False, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
+                    jnp.asarray(c), train=True)
+        vs = torch_joint_d_to_flax(tnet.state_dict(), vs, imsize)
+        (sen, real, cp), _ = m.apply(vs, jnp.asarray(x), jnp.asarray(c),
+                                     train=True, mutable=['batch_stats'])
+    finally:
+        blocks.BN_DTYPE = old
+    np.testing.assert_allclose(np.asarray(sen), _np(sen_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(real), _np(real_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp), _np(cp_t),
+                               rtol=1e-4, atol=1e-4)
