@@ -164,6 +164,65 @@ def test_vc_net_encode_matches_reference(ref):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_cond_init_stage_g_matches_reference(ref):
+    """The reference COND_INIT_STAGE_G (fc -> BN1d -> GLU -> NCHW 4x4
+    reshape -> four upBlocks, model.py:204-235) vs our CondInitStageG —
+    in particular the channel-major _to_nhwc_4x4 element order."""
+    ref_model, ref_cfg = ref
+    from text2img_ekl_tpu.models.generator import CondInitStageG
+    from text2img_ekl_tpu.nn import blocks
+
+    ref_cfg.TRAIN.CAT_Z = 'concat'  # in_dim = MANIFD_DIM*2 = 10
+    torch.manual_seed(5)
+    ngf = 32  # stage width: ngf//16 = 2 output channels at 64px
+    tnet = ref_model.COND_INIT_STAGE_G(ngf)
+    tnet.train()
+    rng = np.random.default_rng(4)
+    c_z = rng.normal(size=(2, 10)).astype(np.float32)
+    out_t = tnet(torch.tensor(c_z))
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = CondInitStageG(ngf, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(c_z),
+                    train=True)
+        mapping = {
+            ('params', 'fc', 'Dense_0', 'kernel'):
+                _np(tnet.fc[0].weight).T,
+            ('params', 'bn', 'BatchNorm_0', 'scale'):
+                _np(tnet.fc[1].weight),
+            ('params', 'bn', 'BatchNorm_0', 'bias'):
+                _np(tnet.fc[1].bias),
+            ('batch_stats', 'bn', 'BatchNorm_0', 'mean'):
+                _np(tnet.fc[1].running_mean),
+            ('batch_stats', 'bn', 'BatchNorm_0', 'var'):
+                _np(tnet.fc[1].running_var),
+        }
+        for i in range(1, 5):
+            up = getattr(tnet, 'upsample%d' % i)
+            pre = ('up', 'upsample%d' % i)
+            mapping[('params',) + pre + ('Conv3x3_0', 'Conv_0', 'kernel')] \
+                = _np(up[1].weight).transpose(2, 3, 1, 0)
+            bnp = ('params',) + pre + ('BatchNorm_0', 'BatchNorm_0')
+            bns = ('batch_stats',) + pre + ('BatchNorm_0', 'BatchNorm_0')
+            mapping[bnp + ('scale',)] = _np(up[2].weight)
+            mapping[bnp + ('bias',)] = _np(up[2].bias)
+            mapping[bns + ('mean',)] = _np(up[2].running_mean)
+            mapping[bns + ('var',)] = _np(up[2].running_var)
+        vs = _set_leaves(vs, mapping)
+        out, _ = m.apply(vs, jnp.asarray(c_z), train=True,
+                         mutable=['batch_stats'])
+    finally:
+        blocks.BN_DTYPE = old
+    # tolerance: six stacked BatchNorms amplify the f32 variance-formula
+    # difference (flax E[x^2]-E[x]^2 vs torch's direct moments) to ~1e-3
+    # absolute through this stage; a layout/order bug would be O(1).
+    np.testing.assert_allclose(
+        np.asarray(out), _np(out_t).transpose(0, 2, 3, 1),
+        rtol=1e-2, atol=2e-3)
+
+
 def test_next_stage_g_and_torgb_match_reference(ref):
     """The reference NEXT_STAGE_G (tile + concat jointConv + ResBlocks +
     upBlock, model.py:379-423) and GET_IMAGE_G (model.py:426-437) vs our
