@@ -19,8 +19,10 @@ from text2img_ekl_tpu.nn import blocks
 @pytest.fixture
 def restore_flag():
     old = blocks.SUBPIXEL_UP
+    old_dtype = blocks.BN_DTYPE  # the helpers below force f32 BN
     yield
     blocks.SUBPIXEL_UP = old
+    blocks.BN_DTYPE = old_dtype
 
 
 def test_fold_kernel_exactness_incl_borders():

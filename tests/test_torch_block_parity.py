@@ -51,7 +51,6 @@ def test_conv3x3_matches_torch():
     ref = _from_nchw(tc(_nchw(x)))
 
     m = blocks.Conv3x3(7, dtype=jnp.float32)
-    vs = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
     vs = {'params': {'Conv_0': {'kernel': _conv_w(tc)}}}
     out = np.asarray(m.apply(vs, jnp.asarray(x)))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
