@@ -297,6 +297,117 @@ def test_next_stage_g_and_torgb_match_reference(ref):
         rtol=1e-4, atol=1e-5)
 
 
+def _tower_mapping(enc, prefix=('tower', 'encode16')):
+    """encode_image_by_16times (model.py:832-850) -> our EncodeBy16 paths."""
+    mapping = {('params',) + prefix + ('Conv4x4s2_0', 'Conv_0', 'kernel'):
+               _np(enc[0].weight).transpose(2, 3, 1, 0)}
+    for i, (ci, bi) in enumerate([(2, 3), (5, 6), (8, 9)]):
+        pre = prefix + ('DownBlock_%d' % i,)
+        mapping[('params',) + pre + ('Conv4x4s2_0', 'Conv_0', 'kernel')] \
+            = _np(enc[ci].weight).transpose(2, 3, 1, 0)
+        bnp = ('params',) + pre + ('BatchNorm_0', 'BatchNorm_0')
+        bns = ('batch_stats',) + pre + ('BatchNorm_0', 'BatchNorm_0')
+        mapping[bnp + ('scale',)] = _np(enc[bi].weight)
+        mapping[bnp + ('bias',)] = _np(enc[bi].bias)
+        mapping[bns + ('mean',)] = _np(enc[bi].running_mean)
+        mapping[bns + ('var',)] = _np(enc[bi].running_var)
+    return mapping
+
+
+def _fc_nchw_to_nhwc(wt):
+    """torch Linear weight [out, C*16] over the NCHW flatten (c*16+s) ->
+    flax kernel [16*C, out] over the NHWC flatten (s*C+c)."""
+    out, cs = wt.shape
+    c = cs // 16
+    return wt.reshape(out, c, 16).transpose(2, 1, 0).reshape(cs, out)
+
+
+def test_d_net64_forward_matches_reference(ref):
+    """Legacy per-scale D_NET64 (model.py:874-915): match + uncond heads."""
+    ref_model, ref_cfg = ref
+    from text2img_ekl_tpu.models.discriminator import DNet
+    from text2img_ekl_tpu.nn import blocks
+
+    ref_cfg.GAN.B_CONDITION = True
+    torch.manual_seed(6)
+    tnet = ref_model.D_NET64()
+    tnet.train()
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    c = rng.normal(size=(2, 8)).astype(np.float32)
+    out_t, unc_t = tnet(torch.tensor(np.ascontiguousarray(
+        np.transpose(x, (0, 3, 1, 2)))), torch.tensor(c))
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = DNet(ndf=16, ef_dim=8, imsize=64, b_condition=True,
+                 dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
+                    jnp.asarray(c), train=True)
+        mapping = _tower_mapping(tnet.img_code_s16)
+        mapping[('params', 'jointConv', 'Conv3x3_0', 'Conv_0', 'kernel')] \
+            = _np(tnet.jointConv[0].weight).transpose(2, 3, 1, 0)
+        bnp = ('params', 'jointConv', 'BatchNorm_0', 'BatchNorm_0')
+        bns = ('batch_stats', 'jointConv', 'BatchNorm_0', 'BatchNorm_0')
+        mapping[bnp + ('scale',)] = _np(tnet.jointConv[1].weight)
+        mapping[bnp + ('bias',)] = _np(tnet.jointConv[1].bias)
+        mapping[bns + ('mean',)] = _np(tnet.jointConv[1].running_mean)
+        mapping[bns + ('var',)] = _np(tnet.jointConv[1].running_var)
+        for name, tconv in [('logits', tnet.logits[0]),
+                            ('uncond_logits', tnet.uncond_logits[0])]:
+            mapping[('params', name, 'Conv_0', 'kernel')] \
+                = _np(tconv.weight).transpose(2, 3, 1, 0)
+            mapping[('params', name, 'Conv_0', 'bias')] = _np(tconv.bias)
+        vs = _set_leaves(vs, mapping)
+        (out, unc), _ = m.apply(vs, jnp.asarray(x), jnp.asarray(c),
+                                train=True, mutable=['batch_stats'])
+    finally:
+        blocks.BN_DTYPE = old
+    np.testing.assert_allclose(np.asarray(out), _np(out_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(unc), _np(unc_t),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_entity_d_net64_forward_matches_reference(ref):
+    """Legacy ENTITY_D_NET64 (model.py:853-870): real scalar + class head
+    over the NCHW flatten (our kernel input axis is permuted to the NHWC
+    flatten — the same transform torch_joint_d_to_flax applies)."""
+    ref_model, _ = ref
+    from text2img_ekl_tpu.models.discriminator import EntityDNet
+    from text2img_ekl_tpu.nn import blocks
+
+    torch.manual_seed(7)
+    tnet = ref_model.ENTITY_D_NET64()
+    tnet.train()
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    tp_t, cp_t = tnet(torch.tensor(np.ascontiguousarray(
+        np.transpose(x, (0, 3, 1, 2)))))
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = EntityDNet(ndf=16, entity_dim=5, imsize=64, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
+                    train=True)
+        mapping = _tower_mapping(tnet.downsp_16)
+        for name, fc in [('fc_real', tnet.fc_real), ('fc_ac', tnet.fc_ac)]:
+            mapping[('params', name, 'Dense_0', 'kernel')] \
+                = _fc_nchw_to_nhwc(_np(fc.weight))
+            mapping[('params', name, 'Dense_0', 'bias')] = _np(fc.bias)
+        vs = _set_leaves(vs, mapping)
+        (tp, cp), _ = m.apply(vs, jnp.asarray(x), train=True,
+                              mutable=['batch_stats'])
+    finally:
+        blocks.BN_DTYPE = old
+    np.testing.assert_allclose(np.asarray(tp), _np(tp_t),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp), _np(cp_t),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize('imsize', [64, 128])
 def test_joint_d_forward_matches_reference(ref, imsize):
     """The reference JOINT_D_NET{64,128} (model.py:918-977, 1054-1121)
