@@ -314,6 +314,30 @@ def _tower_mapping(enc, prefix=('tower', 'encode16')):
     return mapping
 
 
+def _convbn_mapping(mapping, prefix, tconv, tbn):
+    """conv+BN pairs (downBlock/Block3x3_leakRelu Sequentials) -> flax."""
+    kname = 'Conv4x4s2_0' if tconv.kernel_size[0] == 4 else 'Conv3x3_0'
+    mapping[('params',) + prefix + (kname, 'Conv_0', 'kernel')] \
+        = _np(tconv.weight).transpose(2, 3, 1, 0)
+    bnp = ('params',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+    bns = ('batch_stats',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+    mapping[bnp + ('scale',)] = _np(tbn.weight)
+    mapping[bnp + ('bias',)] = _np(tbn.bias)
+    mapping[bns + ('mean',)] = _np(tbn.running_mean)
+    mapping[bns + ('var',)] = _np(tbn.running_var)
+
+
+def _deep_tower_mapping(mapping, downs, squeezes, prefix=('tower',)):
+    """The >64px pyramid past encode16: img_code_s32[/s64] downBlocks then
+    the channel-squeeze Block3x3_leakRelus (model.py:1016-1018,
+    1164-1168) -> our _DownTower downs_i/squeezes_i."""
+    for i, blk in enumerate(downs):
+        _convbn_mapping(mapping, prefix + ('downs_%d' % i,), blk[0], blk[1])
+    for i, blk in enumerate(squeezes):
+        _convbn_mapping(mapping, prefix + ('squeezes_%d' % i,),
+                        blk[0], blk[1])
+
+
 def _fc_nchw_to_nhwc(wt):
     """torch Linear weight [out, C*16] over the NCHW flatten (c*16+s) ->
     flax kernel [16*C, out] over the NHWC flatten (s*C+c)."""
@@ -322,18 +346,20 @@ def _fc_nchw_to_nhwc(wt):
     return wt.reshape(out, c, 16).transpose(2, 1, 0).reshape(cs, out)
 
 
-def test_d_net64_forward_matches_reference(ref):
-    """Legacy per-scale D_NET64 (model.py:874-915): match + uncond heads."""
+@pytest.mark.parametrize('imsize', [64, 128, 256])
+def test_d_net_forward_matches_reference(ref, imsize):
+    """Legacy per-scale D_NET64/128/256 (model.py:874-915, 1006-1051,
+    1154-1203): match + uncond heads, incl. the deeper >64px towers."""
     ref_model, ref_cfg = ref
     from text2img_ekl_tpu.models.discriminator import DNet
     from text2img_ekl_tpu.nn import blocks
 
     ref_cfg.GAN.B_CONDITION = True
     torch.manual_seed(6)
-    tnet = ref_model.D_NET64()
+    tnet = getattr(ref_model, 'D_NET%d' % imsize)()
     tnet.train()
     rng = np.random.default_rng(5)
-    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    x = rng.normal(size=(2, imsize, imsize, 3)).astype(np.float32) * 0.5
     c = rng.normal(size=(2, 8)).astype(np.float32)
     out_t, unc_t = tnet(torch.tensor(np.ascontiguousarray(
         np.transpose(x, (0, 3, 1, 2)))), torch.tensor(c))
@@ -341,11 +367,18 @@ def test_d_net64_forward_matches_reference(ref):
     old = blocks.BN_DTYPE
     blocks.BN_DTYPE = jnp.float32
     try:
-        m = DNet(ndf=16, ef_dim=8, imsize=64, b_condition=True,
+        m = DNet(ndf=16, ef_dim=8, imsize=imsize, b_condition=True,
                  dtype=jnp.float32)
         vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
                     jnp.asarray(c), train=True)
         mapping = _tower_mapping(tnet.img_code_s16)
+        if imsize == 128:
+            _deep_tower_mapping(mapping, [tnet.img_code_s32],
+                                [tnet.img_code_s32_1])
+        elif imsize == 256:
+            _deep_tower_mapping(
+                mapping, [tnet.img_code_s32, tnet.img_code_s64],
+                [tnet.img_code_s64_1, tnet.img_code_s64_2])
         mapping[('params', 'jointConv', 'Conv3x3_0', 'Conv_0', 'kernel')] \
             = _np(tnet.jointConv[0].weight).transpose(2, 3, 1, 0)
         bnp = ('params', 'jointConv', 'BatchNorm_0', 'BatchNorm_0')
@@ -370,29 +403,38 @@ def test_d_net64_forward_matches_reference(ref):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_entity_d_net64_forward_matches_reference(ref):
-    """Legacy ENTITY_D_NET64 (model.py:853-870): real scalar + class head
-    over the NCHW flatten (our kernel input axis is permuted to the NHWC
-    flatten — the same transform torch_joint_d_to_flax applies)."""
+@pytest.mark.parametrize('imsize', [64, 128, 256])
+def test_entity_d_net_forward_matches_reference(ref, imsize):
+    """Legacy ENTITY_D_NET64/128/256 (model.py:853-870, 980-1002,
+    1124-1150): real scalar + class head over the NCHW flatten (our kernel
+    input axis is permuted to the NHWC flatten — the same transform
+    torch_joint_d_to_flax applies)."""
     ref_model, _ = ref
     from text2img_ekl_tpu.models.discriminator import EntityDNet
     from text2img_ekl_tpu.nn import blocks
 
     torch.manual_seed(7)
-    tnet = ref_model.ENTITY_D_NET64()
+    tnet = getattr(ref_model, 'ENTITY_D_NET%d' % imsize)()
     tnet.train()
     rng = np.random.default_rng(6)
-    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    x = rng.normal(size=(2, imsize, imsize, 3)).astype(np.float32) * 0.5
     tp_t, cp_t = tnet(torch.tensor(np.ascontiguousarray(
         np.transpose(x, (0, 3, 1, 2)))))
 
     old = blocks.BN_DTYPE
     blocks.BN_DTYPE = jnp.float32
     try:
-        m = EntityDNet(ndf=16, entity_dim=5, imsize=64, dtype=jnp.float32)
+        m = EntityDNet(ndf=16, entity_dim=5, imsize=imsize,
+                       dtype=jnp.float32)
         vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
                     train=True)
         mapping = _tower_mapping(tnet.downsp_16)
+        if imsize == 128:
+            _deep_tower_mapping(mapping, [tnet.downsp_32],
+                                [tnet.downsp_32_1])
+        elif imsize == 256:
+            _deep_tower_mapping(mapping, [tnet.downsp_32, tnet.downsp_64],
+                                [tnet.downsp_64_1, tnet.downsp_64_2])
         for name, fc in [('fc_real', tnet.fc_real), ('fc_ac', tnet.fc_ac)]:
             mapping[('params', name, 'Dense_0', 'kernel')] \
                 = _fc_nchw_to_nhwc(_np(fc.weight))
@@ -408,11 +450,13 @@ def test_entity_d_net64_forward_matches_reference(ref):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize('imsize', [64, 128])
+@pytest.mark.parametrize('imsize', [64, 128, 256])
 def test_joint_d_forward_matches_reference(ref, imsize):
-    """The reference JOINT_D_NET{64,128} (model.py:918-977, 1054-1121)
-    and our JointDNet compute the same three heads, with the real
-    module's state_dict moved through torch_joint_d_to_flax."""
+    """The reference JOINT_D_NET{64,128,256} (model.py:918-977, 1054-1121,
+    1206-1258) and our JointDNet compute the same three heads, with the
+    real module's state_dict moved through torch_joint_d_to_flax. The 256
+    variant is the reference quirk case: ef_dim stays EMBEDDING_DIM (no
+    concat-z doubling) and there is no capsule option (model.py:1210)."""
     ref_model, _ = ref
     from text2img_ekl_tpu.io_utils.torch_import import torch_joint_d_to_flax
     from text2img_ekl_tpu.models.discriminator import JointDNet
@@ -420,11 +464,12 @@ def test_joint_d_forward_matches_reference(ref, imsize):
 
     cls = getattr(ref_model, 'JOINT_D_NET%d' % imsize)
     torch.manual_seed(3)
-    tnet = cls(use_cap=False)
+    tnet = cls() if imsize == 256 else cls(use_cap=False)
     tnet.train()
+    ef_dim = 8 if imsize == 256 else 16
     rng = np.random.default_rng(2)
     x = rng.normal(size=(2, imsize, imsize, 3)).astype(np.float32) * 0.5
-    c = rng.normal(size=(2, 16)).astype(np.float32)
+    c = rng.normal(size=(2, ef_dim)).astype(np.float32)
     # ascontiguousarray: a transposed numpy view hands torch channels-last
     # strides, and the reference's old-torch `.view` calls (model.py:974)
     # reject the resulting non-contiguous conv outputs on modern torch
@@ -435,7 +480,7 @@ def test_joint_d_forward_matches_reference(ref, imsize):
     old = blocks.BN_DTYPE
     blocks.BN_DTYPE = jnp.float32
     try:
-        m = JointDNet(ndf=16, ef_dim=16, entity_dim=5, imsize=imsize,
+        m = JointDNet(ndf=16, ef_dim=ef_dim, entity_dim=5, imsize=imsize,
                       use_cap=False, dtype=jnp.float32)
         vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
                     jnp.asarray(c), train=True)
