@@ -55,6 +55,8 @@ def main():
         cfg.TPU_FUSED_BN_GLU = os.environ['BENCH_FUSED_BN_GLU'] == '1'
     if os.environ.get('BENCH_SUBPIXEL_UP'):
         cfg.TPU_SUBPIXEL_UP = os.environ['BENCH_SUBPIXEL_UP'] == '1'
+    if os.environ.get('BENCH_REMAT_G') is not None:
+        cfg.TPU_REMAT_G = os.environ['BENCH_REMAT_G']
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

@@ -359,3 +359,42 @@ def test_caption_sampler_matches_looped_calls():
         # +-1 LSB: vmapped vs single-call fusion may round differently
         np.testing.assert_allclose(out[i].astype(np.int16),
                                    ref8.astype(np.int16), atol=1)
+
+
+@pytest.mark.parametrize('mode', ['full', 'conv'])
+def test_remat_g_matches_baseline(mode):
+    """TPU_REMAT_G recomputes the SAME primals in the G backward —
+    losses, updated params, and fakes must match the no-remat step
+    (f32 numerics path, as for the other program-transform equivalence
+    tests)."""
+    cfg = cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml'))
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TPU_UINT8_INPUT = False
+    cfg.TPU_BN_DTYPE = 'float32'
+
+    results = {}
+    for remat in ('', mode):
+        cfg.TPU_REMAT_G = remat
+        G = build_generator(cfg)
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                   cond_code_width(cfg))
+        step = make_train_step(cfg, G, Ds, None)
+        batch = make_synthetic_batch(cfg, 4)
+        new_state, metrics, fakes = step(state, batch, jax.random.PRNGKey(1))
+        results[remat] = dict(
+            metrics={k: float(v) for k, v in metrics.items()},
+            g1=np.asarray(jax.tree.leaves(new_state.g_params)[0]),
+            fakes=np.asarray(fakes))
+    for k, v in results['']['metrics'].items():
+        np.testing.assert_allclose(results[mode]['metrics'][k], v,
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    np.testing.assert_allclose(results[mode]['g1'], results['']['g1'],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(results[mode]['fakes'],
+                               results['']['fakes'], atol=1e-4)

@@ -176,6 +176,15 @@ class Config:
     # alone is slower (relayout cost), so the fold applies to train-mode
     # calls only. See PERF.md "Subpixel upsample-conv".
     TPU_SUBPIXEL_UP: bool = False
+    # Rematerialize the generator forward in its backward pass
+    # (jax.checkpoint around the saved-VJP forward in the fused step):
+    # '' = off (save every residual, the default), 'full' = save nothing
+    # and recompute the whole forward, 'conv' = save only conv outputs
+    # (checkpoint_name-tagged in nn/blocks.py) and recompute the BN/GLU
+    # elementwise chains inside the backward where they fuse into its
+    # conv kernels. Trades idle-MXU FLOPs for activation HBM traffic —
+    # the step is HBM-bound at ~74% of peak (PERF.md).
+    TPU_REMAT_G: str = ''
     # xla_tpu_scoped_vmem_limit_kib for the fused train step (0 = compiler
     # default). Conv emitters budget their scratch against this; the v5e's
     # physical VMEM is far above the default (PERF.md).

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -181,14 +182,16 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(
+        # 'conv' tag: matmul outputs are remat anchors like conv outputs
+        # (TPU_REMAT_G='conv', see Conv3x3).
+        return checkpoint_name(nn.Dense(
             self.features,
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=orthogonal_init,
             bias_init=jax.nn.initializers.zeros,
-        )(x)
+        )(x), 'conv')
 
 
 class _JointConv3x3(nn.Module):
@@ -313,17 +316,22 @@ class Conv3x3(nn.Module):
     def __call__(self, x, c_vec=None):
         if self.fold_up2x:
             assert c_vec is None, 'fold_up2x and joint-conv are exclusive'
-            return _SubpixelUpConv3x3(self.features, dtype=self.dtype,
-                                      name='Conv_0')(x)
-        if c_vec is not None:
-            return _JointConv3x3(self.features, dtype=self.dtype,
-                                 name='Conv_0')(x, c_vec)
-        return nn.Conv(
-            self.features, (3, 3), strides=1, padding=1, use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=orthogonal_init,
-            name='Conv_0',
-        )(x)
+            y = _SubpixelUpConv3x3(self.features, dtype=self.dtype,
+                                   name='Conv_0')(x)
+        elif c_vec is not None:
+            y = _JointConv3x3(self.features, dtype=self.dtype,
+                              name='Conv_0')(x, c_vec)
+        else:
+            y = nn.Conv(
+                self.features, (3, 3), strides=1, padding=1, use_bias=False,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=orthogonal_init,
+                name='Conv_0',
+            )(x)
+        # No-op tag: under TPU_REMAT_G='conv' the step's remat policy
+        # saves exactly these outputs and recomputes the BN/GLU chains
+        # between them in the backward (train/step.py).
+        return checkpoint_name(y, 'conv')
 
 
 class Conv4x4s2(nn.Module):

@@ -159,5 +159,9 @@ class CapsuleLinear(nn.Module):
         w = self.param('weight',
                        jax.nn.initializers.orthogonal(scale=1.0, column_axis=0),
                        shape, jnp.float32)
-        return capsule_linear(x, w, self.num_iterations, self.routing,
-                              self.use_pallas)
+        # 'conv' remat anchor (TPU_REMAT_G='conv', nn/blocks.py): save the
+        # routed output so the backward never re-runs the routing loop.
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(
+            capsule_linear(x, w, self.num_iterations, self.routing,
+                           self.use_pallas), 'conv')

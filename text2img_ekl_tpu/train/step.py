@@ -99,6 +99,9 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     d_tx = make_optimizer(cfg.TRAIN.DISCRIMINATOR_LR)
     single_cond = isinstance(G, CondGNet)
     grouped_d = bool(getattr(cfg, 'TPU_GROUPED_D', False))
+    remat_g = str(getattr(cfg, 'TPU_REMAT_G', '') or '')
+    if remat_g not in ('', 'full', 'conv'):
+        raise ValueError("TPU_REMAT_G must be ''|full|conv, got %r" % remat_g)
     from .state import zero1_shard_count
     n_shards = zero1_shard_count(cfg, mesh)  # >1 => ZeRO-1 weight update
 
@@ -179,7 +182,19 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
             imgs = G.apply(gvars, hcodes, method='image')
             return (tuple(imgs), mu_d, mus, logvars), gstate['batch_stats']
 
-        gen_outs, g_vjp, new_g_bs = jax.vjp(gen_fn, state.g_params,
+        if remat_g:
+            # Trade recompute FLOPs for residual HBM traffic in the G
+            # backward (the step is HBM-bound; MXU is half idle — PERF.md).
+            # 'full': recompute the whole forward from g_params. 'conv':
+            # save the checkpoint_name('conv')-tagged matmul/conv/capsule
+            # outputs, recompute the BN/GLU elementwise chains between
+            # them inside the backward where they fuse into its convs.
+            policy = None if remat_g == 'full' else \
+                jax.checkpoint_policies.save_only_these_names('conv')
+            gen = jax.checkpoint(gen_fn, policy=policy)
+        else:
+            gen = gen_fn
+        gen_outs, g_vjp, new_g_bs = jax.vjp(gen, state.g_params,
                                             has_aux=True)
         imgs, mu_d, mus, logvars = gen_outs
         mu_sg = jax.lax.stop_gradient(mu_d)
