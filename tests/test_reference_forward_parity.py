@@ -495,3 +495,102 @@ def test_joint_d_forward_matches_reference(ref, imsize):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(cp), _np(cp_t),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_g_net_assembly_matches_reference(ref):
+    """The FULL unconditional G_NET assembly (model.py:747-808 with
+    B_CONDITION=False — the eval_birds GNet path): INIT_STAGE_G ->
+    NEXT_STAGE_G chained exactly as the reference wires them (h_net2
+    sees the raw z as its condition code), plus the shared GET_IMAGE_G
+    heads from get_shareGs (model.py:439-452) through our `image`
+    method. Deterministic end to end (no CA reparameterization)."""
+    ref_model, ref_cfg = ref
+    from text2img_ekl_tpu.models.generator import GNet
+    from text2img_ekl_tpu.nn import blocks
+
+    ref_cfg.GAN.B_CONDITION = False
+    ref_cfg.TREE.BRANCH_NUM = 2
+    ref_cfg.TREE.SCALE = 2
+    ref_cfg.GAN.GF_DIM = 16
+    torch.manual_seed(8)
+    share_gs = ref_model.get_shareGs(ref_cfg.GAN.GF_DIM)
+    tnet = ref_model.G_NET(share_gs)
+    tnet.train()
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(2, 6)).astype(np.float32)
+    hcodes_t, mu_t, lv_t = tnet(torch.tensor(z))
+    assert mu_t is None and lv_t is None
+    imgs_t = [share_gs[i](hcodes_t[i]) for i in range(2)]
+
+    def convbn(mapping, prefix, tconv, tbn):
+        mapping[('params',) + prefix + ('Conv3x3_0', 'Conv_0', 'kernel')] \
+            = _np(tconv.weight).transpose(2, 3, 1, 0)
+        bnp = ('params',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+        bns = ('batch_stats',) + prefix + ('BatchNorm_0', 'BatchNorm_0')
+        mapping[bnp + ('scale',)] = _np(tbn.weight)
+        mapping[bnp + ('bias',)] = _np(tbn.bias)
+        mapping[bns + ('mean',)] = _np(tbn.running_mean)
+        mapping[bns + ('var',)] = _np(tbn.running_var)
+
+    old = blocks.BN_DTYPE
+    blocks.BN_DTYPE = jnp.float32
+    try:
+        m = GNet(gf_dim=16, z_dim=6, branch_num=2, r_num=2, scale=2,
+                 b_condition=False, dtype=jnp.float32)
+        vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(z),
+                    train=True, method='init_all')
+        mapping = {
+            ('params', 'h_net1', 'fc', 'Dense_0', 'kernel'):
+                _np(tnet.h_net1.fc[0].weight).T,
+            ('params', 'h_net1', 'bn', 'BatchNorm_0', 'scale'):
+                _np(tnet.h_net1.fc[1].weight),
+            ('params', 'h_net1', 'bn', 'BatchNorm_0', 'bias'):
+                _np(tnet.h_net1.fc[1].bias),
+            ('batch_stats', 'h_net1', 'bn', 'BatchNorm_0', 'mean'):
+                _np(tnet.h_net1.fc[1].running_mean),
+            ('batch_stats', 'h_net1', 'bn', 'BatchNorm_0', 'var'):
+                _np(tnet.h_net1.fc[1].running_var),
+        }
+        for i in range(1, 5):
+            up = getattr(tnet.h_net1, 'upsample%d' % i)
+            convbn(mapping, ('h_net1', 'up', 'upsample%d' % i), up[1], up[2])
+        n2 = tnet.h_net2
+        convbn(mapping, ('h_net2', 'jointConv'), n2.jointConv[0],
+               n2.jointConv[1])
+        for i in range(2):
+            blk = n2.residual[i].block
+            convbn(mapping, ('h_net2', 'residual_%d' % i), blk[0], blk[1])
+            mapping[('params', 'h_net2', 'residual_%d' % i, 'Conv3x3_1',
+                     'Conv_0', 'kernel')] = \
+                _np(blk[3].weight).transpose(2, 3, 1, 0)
+            bnp = ('params', 'h_net2', 'residual_%d' % i, 'BatchNorm_1',
+                   'BatchNorm_0')
+            bns = ('batch_stats', 'h_net2', 'residual_%d' % i, 'BatchNorm_1',
+                   'BatchNorm_0')
+            mapping[bnp + ('scale',)] = _np(blk[4].weight)
+            mapping[bnp + ('bias',)] = _np(blk[4].bias)
+            mapping[bns + ('mean',)] = _np(blk[4].running_mean)
+            mapping[bns + ('var',)] = _np(blk[4].running_var)
+        convbn(mapping, ('h_net2', 'upsample'), n2.upsample[1],
+               n2.upsample[2])
+        for k in range(2):
+            mapping[('params', 'img_net%d' % (k + 1), 'Conv3x3_0', 'Conv_0',
+                     'kernel')] = \
+                _np(share_gs[k].img[0].weight).transpose(2, 3, 1, 0)
+        vs = _set_leaves(vs, mapping)
+        (hcodes, mu, lv), _ = m.apply(vs, jnp.asarray(z), train=True,
+                                      mutable=['batch_stats'])
+        assert mu is None and lv is None
+        imgs = m.apply(vs, hcodes, method='image')
+    finally:
+        blocks.BN_DTYPE = old
+    # ~11 stacked train-mode BatchNorms amplify the f32 variance-formula
+    # difference (flax E[x^2]-E[x]^2 vs torch direct moments); a wiring
+    # or layout bug would be O(1).
+    for k in range(2):
+        np.testing.assert_allclose(
+            np.asarray(hcodes[k]), _np(hcodes_t[k]).transpose(0, 2, 3, 1),
+            rtol=1e-2, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(imgs[k]), _np(imgs_t[k]).transpose(0, 2, 3, 1),
+            rtol=1e-2, atol=5e-3)
