@@ -346,28 +346,37 @@ def _fc_nchw_to_nhwc(wt):
     return wt.reshape(out, c, 16).transpose(2, 1, 0).reshape(cs, out)
 
 
-@pytest.mark.parametrize('imsize', [64, 128, 256])
+@pytest.mark.parametrize('imsize', [64, 128, 256, 512, 1024])
 def test_d_net_forward_matches_reference(ref, imsize):
-    """Legacy per-scale D_NET64/128/256 (model.py:874-915, 1006-1051,
-    1154-1203): match + uncond heads, incl. the deeper >64px towers."""
+    """Legacy per-scale D_NET64..1024 (model.py:874-915, 1006-1051,
+    1154-1203, 1261-1373): match + uncond heads, incl. the deeper >64px
+    towers. 512/1024 are the reference's own 'not test yet' sketches —
+    run at reduced width/batch."""
     ref_model, ref_cfg = ref
     from text2img_ekl_tpu.models.discriminator import DNet
     from text2img_ekl_tpu.nn import blocks
 
     ref_cfg.GAN.B_CONDITION = True
+    big = imsize >= 512
+    ndf, bsz = (4, 1) if big else (16, 2)
+    old_df = ref_cfg.GAN.DF_DIM
+    ref_cfg.GAN.DF_DIM = ndf
     torch.manual_seed(6)
-    tnet = getattr(ref_model, 'D_NET%d' % imsize)()
+    try:
+        tnet = getattr(ref_model, 'D_NET%d' % imsize)()
+    finally:
+        ref_cfg.GAN.DF_DIM = old_df
     tnet.train()
     rng = np.random.default_rng(5)
-    x = rng.normal(size=(2, imsize, imsize, 3)).astype(np.float32) * 0.5
-    c = rng.normal(size=(2, 8)).astype(np.float32)
+    x = rng.normal(size=(bsz, imsize, imsize, 3)).astype(np.float32) * 0.5
+    c = rng.normal(size=(bsz, 8)).astype(np.float32)
     out_t, unc_t = tnet(torch.tensor(np.ascontiguousarray(
         np.transpose(x, (0, 3, 1, 2)))), torch.tensor(c))
 
     old = blocks.BN_DTYPE
     blocks.BN_DTYPE = jnp.float32
     try:
-        m = DNet(ndf=16, ef_dim=8, imsize=imsize, b_condition=True,
+        m = DNet(ndf=ndf, ef_dim=8, imsize=imsize, b_condition=True,
                  dtype=jnp.float32)
         vs = m.init({'params': jax.random.PRNGKey(0)}, jnp.asarray(x),
                     jnp.asarray(c), train=True)
@@ -379,6 +388,19 @@ def test_d_net_forward_matches_reference(ref, imsize):
             _deep_tower_mapping(
                 mapping, [tnet.img_code_s32, tnet.img_code_s64],
                 [tnet.img_code_s64_1, tnet.img_code_s64_2])
+        elif imsize == 512:
+            _deep_tower_mapping(
+                mapping,
+                [tnet.img_code_s32, tnet.img_code_s64, tnet.img_code_s128],
+                [tnet.img_code_s128_1, tnet.img_code_s128_2,
+                 tnet.img_code_s128_3])
+        elif imsize == 1024:
+            _deep_tower_mapping(
+                mapping,
+                [tnet.img_code_s32, tnet.img_code_s64, tnet.img_code_s128,
+                 tnet.img_code_s256],
+                [tnet.img_code_s256_1, tnet.img_code_s256_2,
+                 tnet.img_code_s256_3, tnet.img_code_s256_4])
         mapping[('params', 'jointConv', 'Conv3x3_0', 'Conv_0', 'kernel')] \
             = _np(tnet.jointConv[0].weight).transpose(2, 3, 1, 0)
         bnp = ('params', 'jointConv', 'BatchNorm_0', 'BatchNorm_0')
