@@ -604,6 +604,11 @@ def test_g_net_assembly_matches_reference(ref):
                                       mutable=['batch_stats'])
         assert mu is None and lv is None
         imgs = m.apply(vs, hcodes, method='image')
+        # Two-path decode (model.py:792-808): product of entity and
+        # sentence h-codes through the SAME shared heads.
+        sen_codes = tuple(0.5 * h for h in hcodes)
+        imgs2 = m.apply(vs, hcodes, sen_codes, method='get_image')
+        imgs2_t = tnet.get_image(hcodes_t, [0.5 * h for h in hcodes_t])
     finally:
         blocks.BN_DTYPE = old
     # ~11 stacked train-mode BatchNorms amplify the f32 variance-formula
@@ -615,4 +620,7 @@ def test_g_net_assembly_matches_reference(ref):
             rtol=1e-2, atol=5e-3)
         np.testing.assert_allclose(
             np.asarray(imgs[k]), _np(imgs_t[k]).transpose(0, 2, 3, 1),
+            rtol=1e-2, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(imgs2[k]), _np(imgs2_t[k]).transpose(0, 2, 3, 1),
             rtol=1e-2, atol=5e-3)
