@@ -57,6 +57,8 @@ def main():
         cfg.TPU_SUBPIXEL_UP = os.environ['BENCH_SUBPIXEL_UP'] == '1'
     if os.environ.get('BENCH_REMAT_G') is not None:
         cfg.TPU_REMAT_G = os.environ['BENCH_REMAT_G']
+    if os.environ.get('BENCH_GROUPED_D'):
+        cfg.TPU_GROUPED_D = os.environ['BENCH_GROUPED_D'] == '1'
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 
