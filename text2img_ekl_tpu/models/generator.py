@@ -490,6 +490,8 @@ def _apply_bn_dtype_policy(cfg) -> None:
         getattr(cfg, 'TPU_FUSED_BN_GLU', False))
     blocks.SUBPIXEL_UP = bool(
         getattr(cfg, 'TPU_SUBPIXEL_UP', False))
+    blocks.PALLAS_DW = bool(
+        getattr(cfg, 'TPU_PALLAS_DW', False))
 
 
 def build_generator(cfg, train_flag: bool = True) -> nn.Module:

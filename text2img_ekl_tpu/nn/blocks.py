@@ -27,6 +27,8 @@ import numpy as np
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
+from ..ops import conv_dw
+
 Dtype = Any
 
 # Orthogonal init matches torch.nn.init.orthogonal_ on the (fan_in, fan_out)
@@ -73,6 +75,14 @@ SPLIT_JOINT_CONV = True
 # to train-mode calls only — forward-only sampling measured slower).
 # Set via config TPU_SUBPIXEL_UP before model construction.
 SUBPIXEL_UP = False
+
+# 3x3 convs: compute the weight gradient with the Pallas streaming-dW
+# kernel (ops/conv_dw.py) where the geometry supports it. Measured and
+# REJECTED on this chip (0.66-1.03x vs XLA's emitter across the hot dW
+# shapes — the in-VMEM lane-stacking copies dominate; PERF.md "Pallas
+# dW kernel"); kept as an A/B escape hatch for other hardware. Set via
+# config TPU_PALLAS_DW before model construction.
+PALLAS_DW = False
 
 # BatchNorm running-average momentum (torch default 0.1 "new fraction" ==
 # flax momentum 0.9). The grouped-D running-average combination in
@@ -298,6 +308,23 @@ class _SubpixelUpConv3x3(nn.Module):
         return y.reshape(b, 2 * h, 2 * w, f)
 
 
+class _PallasDWConv3x3(nn.Module):
+    """3x3 conv whose weight gradient runs in the Pallas streaming-dW
+    kernel (ops/conv_dw.py; forward and dx are the identical XLA convs).
+    The parameter ('kernel', (3,3,C,F), orthogonal init, same scope
+    path) is byte-identical to the nn.Conv it replaces."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param('kernel', orthogonal_init,
+                            (3, 3, c, self.features), jnp.float32)
+        return conv_dw.conv3x3_dw(x.astype(self.dtype), kernel)
+
+
 class Conv3x3(nn.Module):
     """3x3 stride-1 pad-1 bias-free conv (reference: model.py:79-82).
 
@@ -321,6 +348,10 @@ class Conv3x3(nn.Module):
         elif c_vec is not None:
             y = _JointConv3x3(self.features, dtype=self.dtype,
                               name='Conv_0')(x, c_vec)
+        elif PALLAS_DW and conv_dw.dw_supported(
+                x.shape[1], x.shape[2], x.shape[-1], self.features):
+            y = _PallasDWConv3x3(self.features, dtype=self.dtype,
+                                 name='Conv_0')(x)
         else:
             y = nn.Conv(
                 self.features, (3, 3), strides=1, padding=1, use_bias=False,
