@@ -1,0 +1,448 @@
+"""ONE-TRAIN-STEP parity against the REFERENCE'S OWN trainer code.
+
+Drives `/root/reference/cub_trainer_splitz_cap_ca.py`'s actual loss/update
+methods — ``train_joint_Dnet`` (D forward on real/wrong/fake + BCE/CE
+weighting + Adam step) and ``loss_joint_Gnet`` (G loss through the
+*updated* Ds + KL terms) — on the reference's own torch modules, with the
+same weights (transplanted via the shipped ``io_utils/torch_import``
+converters), the same batch, the same noise, and the same
+reparameterization draws, and asserts our fused train step computes the
+same losses and applies the same parameter updates.
+
+This mechanizes what round-2's VERDICT verified by line-reading
+(cub_trainer_splitz_cap_ca.py:404-500): loss structure, real/wrong/fake
+weighting, EKL CE targets, D-before-G ordering, KL coefficients, and the
+Adam(0.5, 0.999) update, end to end through the real G and D towers.
+
+RNG bridging: noise is replicated from the step's split
+(train/step.py:158-159); the CA/VC reparameterization eps are *recovered*
+from our modules' captured intermediates (eps = (c - mu)/std) and injected
+into the torch instances' ``reparametrize``/``reparameterize`` — all other
+torch-side computation is the reference's code. The one stubbed component
+is the unavailable ``capsule_layer`` pip package (CUDA): its
+CapsuleLinear is reimplemented in torch with the same routing-by-agreement
+math as ``ops/capsule.py`` (both follow the package's documented
+semantics, SURVEY.md native-mapping table).
+
+Tolerances: stacked train-mode BatchNorms amplify the f32
+variance-formula difference between flax and torch (see
+test_reference_forward_parity.py), so losses compare at ~1e-2 relative
+and parameter updates are compared on elements whose reference gradient
+is well above that noise floor (sign-stable at t=1, where
+Adam's update is ~lr*sign(g)). A structural bug — wrong loss weighting,
+stale-D G loss, wrong optimizer config, a mis-mapped parameter — shifts
+these by O(1).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip('torch')
+flax = pytest.importorskip('flax')
+
+REF = '/root/reference'
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, 'cub_trainer_splitz_cap_ca.py')),
+    reason='reference repo not mounted')
+
+BS = 4
+LR = 2e-4
+
+
+def _squash_t(s, eps=1e-8):
+    s2 = (s * s).sum(-1, keepdim=True)
+    return s * (s2 / (1.0 + s2) / torch.sqrt(s2 + eps))
+
+
+class _TorchCapsuleLinear(torch.nn.Module):
+    """Functional stand-in for capsule_layer.modules.CapsuleLinear
+    (pip package with CUDA kernels, not installed here): shared weight
+    [out_caps, out_len, in_len], votes u = W @ x, routing-by-agreement —
+    the same math as ops/capsule.py `dynamic_routing`."""
+
+    def __init__(self, out_capsules, in_length, out_length,
+                 in_capsules=None, **kw):
+        super().__init__()
+        self.weight = torch.nn.Parameter(
+            0.1 * torch.randn(out_capsules, out_length, in_length))
+
+    def forward(self, x):
+        u = torch.einsum('bil,jol->bijo', x, self.weight)
+        b = torch.zeros(u.shape[:3])
+        v = None
+        for r in range(3):
+            c = torch.softmax(b, dim=2)
+            v = _squash_t(torch.einsum('bij,bijo->bjo', c, u))
+            if r < 2:
+                b = b + torch.einsum('bijo,bjo->bij', u, v)
+        return v
+
+
+def _install_stubs():
+    if 'easydict' not in sys.modules:
+        ed = types.ModuleType('easydict')
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed.EasyDict = EasyDict
+        sys.modules['easydict'] = ed
+    for name in ('torchvision', 'torchvision.models', 'torchvision.utils',
+                 'tensorboardX', 'inception_score'):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    sys.modules['tensorboardX'].summary = types.SimpleNamespace(
+        scalar=lambda *a, **k: None)
+    sys.modules['tensorboardX'].FileWriter = object
+    tv = sys.modules['torchvision']
+    tv.models = sys.modules['torchvision.models']
+    tv.utils = sys.modules['torchvision.utils']
+    # capsule_layer: FUNCTIONAL stub (the G init stage routes through it)
+    cap = types.ModuleType('capsule_layer')
+    mods = types.ModuleType('capsule_layer.modules')
+    mods.CapsuleLinear = _TorchCapsuleLinear
+    cap.modules = mods
+    sys.modules['capsule_layer'] = cap
+    sys.modules['capsule_layer.modules'] = mods
+
+
+@pytest.fixture(scope='module')
+def run():
+    """One reference step + one of ours on identical weights/data/draws."""
+    _install_stubs()
+    # model.py:465 calls .cuda() unconditionally in COND_G_NET_CATZ_CA
+    old_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    try:
+        from miscc.config import cfg as rcfg
+        import model as rmodel
+        import cub_trainer_splitz_cap_ca as rtrain
+
+        # --- shared tiny geometry (capsule widths must divide 8) -------
+        rcfg.CUDA = False
+        rcfg.TEXT.DIMENSION = 12
+        rcfg.GAN.EMBEDDING_DIM = 8    # == MANIFD_DIM: JOINT_D's ef_dim
+        rcfg.GAN.MANIFD_DIM = 8       # is EMBEDDING_DIM*2 (model.py:922)
+        rcfg.GAN.Z_DIM = 8
+        rcfg.GAN.GF_DIM = 16
+        rcfg.GAN.DF_DIM = 16
+        rcfg.GAN.ENTITY_DIM = 5
+        rcfg.GAN.B_CONDITION = True   # NEXT_STAGE_G ef_dim (model.py:382-388)
+        rcfg.GAN.R_NUM = 2
+        rcfg.TREE.BRANCH_NUM = 2
+        rcfg.TREE.SCALE = 2
+        rcfg.TREE.BASE_SIZE = 64
+        rcfg.TRAIN.BATCH_SIZE = BS
+        rcfg.TRAIN.CAT_Z = 'concat'
+        rcfg.TRAIN.EXCHANGE = False
+        rcfg.TRAIN.G_CAPSULE = True
+        rcfg.TRAIN.D_CAPSULE = False
+        rcfg.TRAIN.COEFF.UNCOND_LOSS = 1.0
+        rcfg.TRAIN.COEFF.KL = 2.0
+        rcfg.TRAIN.GENERATOR_LR = LR
+        rcfg.TRAIN.DISCRIMINATOR_LR = LR
+
+        from text2img_ekl_tpu.config import cfg_from_file
+        from text2img_ekl_tpu.io_utils.torch_import import (
+            torch_generator_to_flax, torch_joint_d_to_flax)
+        from text2img_ekl_tpu.models import (build_discriminators,
+                                             build_generator)
+        from text2img_ekl_tpu.train import create_train_state, make_train_step
+        from text2img_ekl_tpu.train.step import cond_code_width
+
+        cfg = cfg_from_file(
+            '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+        cfg.TEXT.DIMENSION = 12
+        cfg.GAN.EMBEDDING_DIM = 8
+        cfg.GAN.MANIFD_DIM = 8
+        cfg.GAN.Z_DIM = 8
+        cfg.GAN.GF_DIM = 16
+        cfg.GAN.DF_DIM = 16
+        cfg.GAN.ENTITY_DIM = 5
+        cfg.GAN.R_NUM = 2
+        cfg.TRAIN.BATCH_SIZE = BS
+        cfg.TRAIN.D_CAPSULE = False
+        cfg.TRAIN.GENERATOR_LR = LR
+        cfg.TRAIN.DISCRIMINATOR_LR = LR
+        cfg.TPU_COMPUTE_DTYPE = 'float32'
+        cfg.TPU_BN_DTYPE = 'float32'
+        cfg.TPU_CAPSULE_PALLAS = False
+        cfg.TPU_UINT8_INPUT = False
+
+        # --- reference modules, torch default init --------------------
+        torch.manual_seed(11)
+        share_gs = rmodel.get_shareGs(rcfg.GAN.GF_DIM)
+        netG = rmodel.COND_G_NET_CATZ_CA(
+            rcfg.TEXT.DIMENSION, rcfg.GAN.ENTITY_DIM, share_gs,
+            use_cap=True, cat='concat', exchange=False)
+        netsD = [rmodel.JOINT_D_NET64(use_cap=False),
+                 rmodel.JOINT_D_NET128(use_cap=False)]
+        netG.train()
+        for d in netsD:
+            d.train()
+
+        # --- our models + the torch weights through the converters ----
+        G = build_generator(cfg)
+        assert type(G).__name__ == 'CondGNetCatZCA'
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                   cond_code_width(cfg))
+        gvars = torch_generator_to_flax(
+            netG.state_dict(),
+            {'params': state.g_params, 'batch_stats': state.g_batch_stats})
+        dvars = [
+            torch_joint_d_to_flax(
+                netsD[i].state_dict(),
+                {'params': state.d_params[i],
+                 'batch_stats': state.d_batch_stats[i]},
+                imsize=(64, 128)[i])
+            for i in range(2)]
+        state = state.replace(
+            g_params=gvars['params'], g_batch_stats=gvars['batch_stats'],
+            d_params=tuple(v['params'] for v in dvars),
+            d_batch_stats=tuple(v['batch_stats'] for v in dvars))
+        g_params_pre = jax.tree.map(np.asarray, state.g_params)
+        d_params_pre = [jax.tree.map(np.asarray, p) for p in state.d_params]
+
+        # --- shared batch ----------------------------------------------
+        rng = np.random.default_rng(3)
+        r64 = np.tanh(rng.normal(size=(BS, 64, 64, 3))).astype(np.float32)
+        r128 = np.tanh(rng.normal(size=(BS, 128, 128, 3))).astype(np.float32)
+        w64 = np.tanh(rng.normal(size=(BS, 64, 64, 3))).astype(np.float32)
+        w128 = np.tanh(rng.normal(size=(BS, 128, 128, 3))).astype(np.float32)
+        txt = rng.normal(size=(BS, 12)).astype(np.float32) * 0.4
+        cls = np.array([0, 1, 2, 3])
+        onehot = np.eye(5, dtype=np.float32)[cls]
+        real_cp = np.eye(6, dtype=np.float32)[cls]
+        batch = {
+            'real': (jnp.asarray(r64), jnp.asarray(r128)),
+            'wrong': (jnp.asarray(w64), jnp.asarray(w128)),
+            'txt': jnp.asarray(txt), 'cls_onehot': jnp.asarray(onehot),
+            'real_cp': jnp.asarray(real_cp),
+        }
+
+        # --- the step's own draws, replicated (train/step.py:158-160) --
+        step_key = jax.random.PRNGKey(42)
+        k_noise, k_reparam, k_prior = jax.random.split(step_key, 3)
+        noise = jax.random.normal(k_noise, (BS, cfg.GAN.Z_DIM), jnp.float32)
+        rngs = {'reparam': k_reparam, 'cls_prior': k_prior}
+        full_gvars = {'params': state.g_params,
+                      'batch_stats': state.g_batch_stats}
+        out, aux = G.apply(full_gvars, noise, batch['txt'],
+                           batch['cls_onehot'], train=True, rngs=rngs,
+                           mutable=['batch_stats', 'intermediates'],
+                           capture_intermediates=True)
+        _, mu1_j, mu2_j, lv1_j, lv2_j, _, _ = out
+        inter = aux['intermediates']
+        c1, m1, l1, s1 = inter['ca_net1']['__call__'][0]
+        c2, m2, l2, s2 = inter['vc_net2']['__call__'][0]
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(mu1_j))
+        eps1 = torch.tensor(np.asarray((c1 - m1) / s1))
+        eps2 = torch.tensor(np.asarray((c2 - m2) / s2))
+
+        # --- our fused step --------------------------------------------
+        step_fn = make_train_step(cfg, G, Ds)
+        new_state, metrics, fakes = step_fn(state, batch, step_key)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        ours = dict(
+            metrics=metrics, fakes=np.asarray(fakes),
+            g_delta=jax.tree.map(
+                lambda a, b: np.asarray(a) - b, new_state.g_params,
+                g_params_pre),
+            d_delta=[jax.tree.map(
+                lambda a, b: np.asarray(a) - b, new_state.d_params[i],
+                d_params_pre[i]) for i in range(2)],
+        )
+
+        # --- reference step: THEIR code, our draws ---------------------
+        netG.ca_net1.reparametrize = lambda mu, logvar: (
+            mu + logvar.mul(0.5).exp() * eps1, logvar.mul(0.5).exp())
+        netG.vc_net2.reparameterize = lambda mu, logvar, seed: (
+            mu + torch.exp(0.5 * logvar) * eps2, torch.exp(0.5 * logvar))
+
+        optG, optsD = rtrain.define_optimizers(netG, netsD)
+        t = object.__new__(rtrain.condGANTrainer)
+        t.batch_size = BS
+        t.num_Ds = 2
+        t.criterion = torch.nn.BCELoss()
+        t.bce_logit = torch.nn.BCEWithLogitsLoss()
+        t.nll = torch.nn.NLLLoss()
+        t.CE = rtrain.ce_loss
+        t.real_labels = torch.ones(BS)
+        t.fake_labels = torch.zeros(BS)
+        t.real_cp = torch.tensor(real_cp)
+        t.fake_cp = torch.tensor(np.eye(6, dtype=np.float32)[[5] * BS])
+        t.netsD = netsD
+        t.optimizersD = optsD
+        # ascontiguousarray: torch.tensor keeps the transposed strides
+        # (channels-last) and propagates them through the convs, breaking
+        # the reference's .view; its real pipeline feeds contiguous NCHW.
+        def _nchw(a):
+            return torch.tensor(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+        t.real_imgs = [_nchw(r64), _nchw(r128)]
+        t.wrong_imgs = [_nchw(w64), _nchw(w128)]
+
+        # trainer loop lines 567-587: G forward, mu fuse, decode
+        noise_t = torch.tensor(np.asarray(noise))
+        hcodes, mu1, mu2, lv1, lv2, _, _ = netG(
+            noise_t, torch.tensor(txt), torch.tensor(onehot))
+        t.fake_imgs = netG.image(hcodes)
+        t.mu = torch.cat((mu1, mu2), 1)
+        t.mu1, t.mu2, t.logvar1, t.logvar2 = mu1, mu2, lv1, lv2
+        np.testing.assert_allclose(mu1.detach().numpy(), np.asarray(mu1_j),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(mu2.detach().numpy(), np.asarray(mu2_j),
+                                   rtol=1e-4, atol=1e-5)
+
+        # D updates, then G through the UPDATED Ds (lines 592-608).
+        # Capture each D's gradients right after ITS update: the G phase
+        # below backprops through the (non-detached) Ds and would
+        # accumulate extra grads into .grad.
+        errD, d_grads = [], []
+        for i in range(2):
+            errD.append(t.train_joint_Dnet(i, 1))
+            d_grads.append({
+                n: (p.grad.clone() if p.grad is not None
+                    else torch.zeros_like(p))
+                for n, p in netsD[i].named_parameters()})
+        netG.zero_grad()
+        errGs, gm, gu, gc, kl_sen, kl_cls = t.loss_joint_Gnet(1)
+        errGs.backward()
+        g_grads = {n: (p.grad.clone() if p.grad is not None
+                       else torch.zeros_like(p))
+                   for n, p in netG.named_parameters()}
+        optG.step()
+
+        ref = dict(
+            errD=[tuple(float(x.detach()) for x in e) for e in errD],
+            errG=float(errGs), g_match=float(gm), g_uncond=float(gu),
+            g_cls=float(gc), kl_sen=float(kl_sen), kl_cls=float(kl_cls),
+            fakes=t.fake_imgs[-1].detach().numpy().transpose(0, 2, 3, 1),
+        )
+        return dict(ours=ours, ref=ref, netG=netG, netsD=netsD,
+                    g_grads=g_grads, d_grads=d_grads,
+                    state_pre=(g_params_pre, d_params_pre),
+                    to_g=torch_generator_to_flax, to_d=torch_joint_d_to_flax,
+                    shaped_g=gvars, shaped_d=dvars)
+    finally:
+        torch.Tensor.cuda = old_cuda
+
+
+def test_d_losses_match(run):
+    m = run['ours']['metrics']
+    # train_joint_Dnet returns (errD, errD_match, errD_uncond, errD_cls)
+    tot = sum(e[0] for e in run['ref']['errD'])
+    match = sum(e[1] for e in run['ref']['errD'])
+    uncond = sum(e[2] for e in run['ref']['errD'])
+    cls_ = sum(e[3] for e in run['ref']['errD'])
+    for ours, ref in [(m['errD'], tot), (m['errD_match'], match),
+                      (m['errD_uncond'], uncond), (m['errD_cls'], cls_)]:
+        np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-3)
+
+
+def test_g_losses_and_kl_match(run):
+    m = run['ours']['metrics']
+    r = run['ref']
+    np.testing.assert_allclose(m['errG'], r['errG'], rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(m['errG_match'], r['g_match'],
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(m['errG_uncond'], r['g_uncond'],
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(m['errG_cls'], r['g_cls'],
+                               rtol=2e-2, atol=2e-3)
+    # KL terms go through one FC (CA) / three FC+BN1d (VC): tighter
+    np.testing.assert_allclose(m['kl_sen'], r['kl_sen'],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(m['kl_cls'], r['kl_cls'],
+                               rtol=1e-2, atol=1e-4)
+
+
+def test_fake_images_match(run):
+    np.testing.assert_allclose(run['ours']['fakes'], run['ref']['fakes'],
+                               rtol=1e-2, atol=5e-3)
+
+
+def _masked_update_check(delta_ours, delta_ref, grads_ref, label):
+    """Compare Adam updates where the reference gradient is sign-stable.
+
+    At t=1 Adam's update is lr*g/(|g|+eps) ~ lr*sign(g); cross-framework
+    grads agree to ~1e-2 relative (BN variance formula), so elements with
+    |g| well above that noise floor must update identically to ~lr*1e-3.
+    """
+    checked = total = 0
+    f_ours = flax.traverse_util.flatten_dict(delta_ours)
+    f_ref = flax.traverse_util.flatten_dict(delta_ref)
+    f_g = flax.traverse_util.flatten_dict(grads_ref)
+    assert set(f_ours) == set(f_ref) == set(f_g)
+    global_gmax = max(float(np.abs(np.asarray(g)).max())
+                      for g in f_g.values())
+    assert global_gmax > 0
+    for path, do in f_ours.items():
+        g = np.asarray(f_g[path], np.float32)
+        do = np.asarray(do, np.float32)
+        dr = np.asarray(f_ref[path], np.float32)
+        gmax = np.abs(g).max()
+        total += do.size
+        if gmax < 1e-4 * global_gmax:
+            # Leaf carries no real gradient signal (e.g. an fc bias
+            # directly under BatchNorm, whose true gradient is exactly 0
+            # and both frameworks see only rounding noise — Adam then
+            # steps ~lr*sign(noise), sign-random on both sides). Only
+            # sanity-bound the update magnitude.
+            assert np.abs(do).max() <= 1.01 * LR, (label, path)
+            continue
+        mask = np.abs(g) > 5e-2 * gmax
+        checked += int(mask.sum())
+        err = np.abs(do - dr)[mask]
+        assert err.size == 0 or err.max() < 2e-3 * LR, (
+            label, path, float(err.max() / LR))
+    assert checked > 0.2 * total, (label, checked, total)
+
+
+def test_g_param_updates_match(run):
+    g_pre, _ = run['state_pre']
+    netG = run['netG']
+    to_g = run['to_g']
+    shaped = run['shaped_g']
+    post = to_g(netG.state_dict(), shaped)['params']
+    delta_ref = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                             post, g_pre)
+    gsd = dict(netG.state_dict())
+    gsd.update(run['g_grads'])
+    grads_ref = to_g(gsd, shaped)['params']
+    _masked_update_check(run['ours']['g_delta'], delta_ref, grads_ref, 'G')
+
+
+@pytest.mark.parametrize('i', [0, 1])
+def test_d_param_updates_match(run, i):
+    _, d_pre = run['state_pre']
+    netD = run['netsD'][i]
+    to_d = run['to_d']
+    shaped = run['shaped_d'][i]
+    imsize = (64, 128)[i]
+    post = to_d(netD.state_dict(), shaped, imsize=imsize)['params']
+    delta_ref = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                             post, d_pre[i])
+    dsd = dict(netD.state_dict())
+    dsd.update(run['d_grads'][i])
+    grads_ref = to_d(dsd, shaped, imsize=imsize)['params']
+    _masked_update_check(run['ours']['d_delta'][i], delta_ref, grads_ref,
+                         'D%d' % i)
