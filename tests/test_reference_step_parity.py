@@ -337,8 +337,83 @@ def run():
             g_cls=float(gc), kl_sen=float(kl_sen), kl_cls=float(kl_cls),
             fakes=t.fake_imgs[-1].detach().numpy().transpose(0, 2, 3, 1),
         )
+
+        # ===== STEP 2: fresh noise, second Adam step =====================
+        # At t=1 Adam's update is lr*sign(g) REGARDLESS of the betas; the
+        # second step (nonzero moments, t=2 bias correction) is what pins
+        # b1/b2 and the step's moment threading. Fresh noise de-correlates
+        # g2 from g1 (identical grads would cancel the betas out too).
+        g_params_mid = jax.tree.map(np.asarray, new_state.g_params)
+        d0_params_mid = jax.tree.map(np.asarray, new_state.d_params[0])
+        step_key2 = jax.random.PRNGKey(43)
+        k_noise2, k_reparam2, k_prior2 = jax.random.split(step_key2, 3)
+        noise2 = jax.random.normal(k_noise2, (BS, cfg.GAN.Z_DIM),
+                                   jnp.float32)
+        out2, aux2 = G.apply(
+            {'params': new_state.g_params,
+             'batch_stats': new_state.g_batch_stats},
+            noise2, batch['txt'], batch['cls_onehot'], train=True,
+            rngs={'reparam': k_reparam2, 'cls_prior': k_prior2},
+            mutable=['batch_stats', 'intermediates'],
+            capture_intermediates=True)
+        i2 = aux2['intermediates']
+        c1b, m1b, _, s1b = i2['ca_net1']['__call__'][0]
+        c2b, m2b, _, s2b = i2['vc_net2']['__call__'][0]
+        eps1b = torch.tensor(np.asarray((c1b - m1b) / s1b))
+        eps2b = torch.tensor(np.asarray((c2b - m2b) / s2b))
+
+        def _adam_snapshot(opt_state):
+            s = opt_state[0]  # optax ScaleByAdamState
+            return (int(s.count),
+                    max(float(jnp.abs(x).max())
+                        for x in jax.tree.leaves(s.mu)))
+
+        ours['g_opt1'] = _adam_snapshot(new_state.g_opt_state)
+        state2, metrics2, _ = step_fn(new_state, batch, step_key2)
+        ours['g_opt2'] = _adam_snapshot(state2.g_opt_state)
+        ours['metrics2'] = {k: float(v) for k, v in metrics2.items()}
+        ours['g_delta2'] = jax.tree.map(
+            lambda a, b: np.asarray(a) - b, state2.g_params, g_params_mid)
+        ours['d0_delta2'] = jax.tree.map(
+            lambda a, b: np.asarray(a) - b, state2.d_params[0],
+            d0_params_mid)
+
+        netG.ca_net1.reparametrize = lambda mu, logvar: (
+            mu + logvar.mul(0.5).exp() * eps1b, logvar.mul(0.5).exp())
+        netG.vc_net2.reparameterize = lambda mu, logvar, seed: (
+            mu + torch.exp(0.5 * logvar) * eps2b, torch.exp(0.5 * logvar))
+        hcodes2, mu1b, mu2b, lv1b, lv2b, _, _ = netG(
+            torch.tensor(np.asarray(noise2)), torch.tensor(txt),
+            torch.tensor(onehot))
+        t.fake_imgs = netG.image(hcodes2)
+        t.mu = torch.cat((mu1b, mu2b), 1)
+        t.mu1, t.mu2, t.logvar1, t.logvar2 = mu1b, mu2b, lv1b, lv2b
+        # post-step-1 == pre-step-2 parameter snapshots (the t=1 update
+        # tests must not see the second torch step below)
+        g_pre2_sd = {k: v.clone() for k, v in netG.state_dict().items()}
+        d_pre2_sd = [{k: v.clone() for k, v in d.state_dict().items()}
+                     for d in netsD]
+        errD2, d_grads2 = [], []
+        for i in range(2):
+            errD2.append(t.train_joint_Dnet(i, 2))
+            d_grads2.append({
+                n: (p.grad.clone() if p.grad is not None
+                    else torch.zeros_like(p))
+                for n, p in netsD[i].named_parameters()})
+        netG.zero_grad()
+        errGs2 = t.loss_joint_Gnet(2)
+        errGs2[0].backward()
+        g_grads2 = {n: (p.grad.clone() if p.grad is not None
+                        else torch.zeros_like(p))
+                    for n, p in netG.named_parameters()}
+        optG.step()
+        ref['errD2'] = sum(float(e[0].detach()) for e in errD2)
+        ref['errG2'] = float(errGs2[0].detach())
+
         return dict(ours=ours, ref=ref, netG=netG, netsD=netsD,
                     g_grads=g_grads, d_grads=d_grads,
+                    g_grads2=g_grads2, d_grads2=d_grads2,
+                    g_pre2_sd=g_pre2_sd, d_pre2_sd=d_pre2_sd,
                     state_pre=(g_params_pre, d_params_pre),
                     to_g=torch_generator_to_flax, to_d=torch_joint_d_to_flax,
                     shaped_g=gvars, shaped_d=dvars)
@@ -380,12 +455,24 @@ def test_fake_images_match(run):
                                rtol=1e-2, atol=5e-3)
 
 
-def _masked_update_check(delta_ours, delta_ref, grads_ref, label):
+def _masked_update_check(delta_ours, delta_ref, grads_ref, label,
+                         tol=2e-3, min_cover=0.2):
     """Compare Adam updates where the reference gradient is sign-stable.
 
     At t=1 Adam's update is lr*g/(|g|+eps) ~ lr*sign(g); cross-framework
     grads agree to ~1e-2 relative (BN variance formula), so elements with
     |g| well above that noise floor must update identically to ~lr*1e-3.
+
+    Note there is deliberately NO t=2 per-element analogue: second-step
+    updates expose gradient MAGNITUDES (t=1's are sign-saturated), so the
+    ~1e-2-relative cross-framework BN noise lands directly in the update,
+    compounded by the t=1 moment history and the +-lr drift of the
+    noise-gradient elements — measured honest floors were 0.1-1.0*lr,
+    i.e. pure noise. The t=2 coverage comes from
+    test_second_step_losses_match (functional state agreement),
+    test_adam_state_threads_through_steps (moments actually carried), and
+    test_optax_adam_matches_torch_adam_exactly (betas/bias correction at
+    1e-6, isolated from model noise).
     """
     checked = total = 0
     f_ours = flax.traverse_util.flatten_dict(delta_ours)
@@ -412,36 +499,80 @@ def _masked_update_check(delta_ours, delta_ref, grads_ref, label):
         mask = np.abs(g) > 5e-2 * gmax
         checked += int(mask.sum())
         err = np.abs(do - dr)[mask]
-        assert err.size == 0 or err.max() < 2e-3 * LR, (
+        assert err.size == 0 or err.max() < tol * LR, (
             label, path, float(err.max() / LR))
-    assert checked > 0.2 * total, (label, checked, total)
+    assert checked > min_cover * total, (label, checked, total)
 
 
 def test_g_param_updates_match(run):
     g_pre, _ = run['state_pre']
-    netG = run['netG']
     to_g = run['to_g']
     shaped = run['shaped_g']
-    post = to_g(netG.state_dict(), shaped)['params']
+    post = to_g(run['g_pre2_sd'], shaped)['params']  # == post step 1
     delta_ref = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
                              post, g_pre)
-    gsd = dict(netG.state_dict())
+    gsd = dict(run['g_pre2_sd'])
     gsd.update(run['g_grads'])
     grads_ref = to_g(gsd, shaped)['params']
     _masked_update_check(run['ours']['g_delta'], delta_ref, grads_ref, 'G')
 
 
+def test_second_step_losses_match(run):
+    m2 = run['ours']['metrics2']
+    np.testing.assert_allclose(m2['errD'], run['ref']['errD2'],
+                               rtol=3e-2, atol=5e-3)
+    np.testing.assert_allclose(m2['errG'], run['ref']['errG2'],
+                               rtol=3e-2, atol=5e-3)
+
+
+def test_adam_state_threads_through_steps(run):
+    """The fused step must carry the optimizer state forward — a
+    re-initialized state would still produce plausible t=1-style updates
+    (Adam at small t is ~sign descent), so check the state directly:
+    count increments and first moments are live."""
+    c1, mu1 = run['ours']['g_opt1']
+    c2, mu2 = run['ours']['g_opt2']
+    assert (c1, c2) == (1, 2)
+    assert mu1 > 0 and mu2 > 0
+
+
+def test_optax_adam_matches_torch_adam_exactly():
+    """The optimizer factory in isolation: make_optimizer's
+    optax.adam(lr, 0.5, 0.999, eps=1e-8) must track torch.optim.Adam
+    (cub_trainer_splitz_cap_ca.py:199-215) bit-tightly over many steps —
+    no cross-framework model noise here, so the bound is 1e-6."""
+    from text2img_ekl_tpu.train.state import make_optimizer
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(37,)).astype(np.float32)
+    grads = [rng.normal(size=(37,)).astype(np.float32) for _ in range(7)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=LR, betas=(0.5, 0.999))
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    tx = make_optimizer(LR)
+    jp = jnp.asarray(p0)
+    opt_state = tx.init(jp)
+    for g in grads:
+        upd, opt_state = tx.update(jnp.asarray(g), opt_state, jp)
+        jp = jp + upd
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize('i', [0, 1])
 def test_d_param_updates_match(run, i):
     _, d_pre = run['state_pre']
-    netD = run['netsD'][i]
     to_d = run['to_d']
     shaped = run['shaped_d'][i]
     imsize = (64, 128)[i]
-    post = to_d(netD.state_dict(), shaped, imsize=imsize)['params']
+    post = to_d(run['d_pre2_sd'][i], shaped,
+                imsize=imsize)['params']  # == post step 1
     delta_ref = jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
                              post, d_pre[i])
-    dsd = dict(netD.state_dict())
+    dsd = dict(run['d_pre2_sd'][i])
     dsd.update(run['d_grads'][i])
     grads_ref = to_d(dsd, shaped, imsize=imsize)['params']
     _masked_update_check(run['ours']['d_delta'][i], delta_ref, grads_ref,
