@@ -333,8 +333,9 @@ def run():
 
         ref = dict(
             errD=[tuple(float(x.detach()) for x in e) for e in errD],
-            errG=float(errGs), g_match=float(gm), g_uncond=float(gu),
-            g_cls=float(gc), kl_sen=float(kl_sen), kl_cls=float(kl_cls),
+            errG=float(errGs.detach()), g_match=float(gm.detach()),
+            g_uncond=float(gu.detach()), g_cls=float(gc.detach()),
+            kl_sen=float(kl_sen.detach()), kl_cls=float(kl_cls.detach()),
             fakes=t.fake_imgs[-1].detach().numpy().transpose(0, 2, 3, 1),
         )
 
@@ -534,6 +535,81 @@ def test_adam_state_threads_through_steps(run):
     c2, mu2 = run['ours']['g_opt2']
     assert (c1, c2) == (1, 2)
     assert mu1 > 0 and mu2 > 0
+
+
+def test_eval_mode_g_matches_reference(run):
+    """Eval-mode G parity after training: netG.eval() with
+    cfg.TEST.CLS_PRIOR — the class code is replaced by a supplied prior
+    (model.py:485-494) and BatchNorm switches to the running averages.
+    The post-train torch running stats are transplanted through the
+    converter, so the eval forward is fully deterministic apart from the
+    CA draw (injected) — tolerances are much tighter than train mode
+    (no batch-statistics formula difference in play)."""
+    import model as rmodel
+    from miscc.config import cfg as rcfg
+    from text2img_ekl_tpu.models import build_generator
+    from text2img_ekl_tpu.config import cfg_from_file
+
+    netG = run['netG']
+    cfg = cfg_from_file(
+        '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+    cfg.TEXT.DIMENSION = 12
+    cfg.GAN.EMBEDDING_DIM = 8
+    cfg.GAN.MANIFD_DIM = 8
+    cfg.GAN.Z_DIM = 8
+    cfg.GAN.GF_DIM = 16
+    cfg.GAN.DF_DIM = 16
+    cfg.GAN.ENTITY_DIM = 5
+    cfg.GAN.R_NUM = 2
+    cfg.TRAIN.D_CAPSULE = False
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_BN_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TEST.CLS_PRIOR = True
+    cfg.TEST.G_CAPSULE = True
+    G = build_generator(cfg, train_flag=False)
+    assert G.use_cls_prior
+
+    # fresh converted variables: the POST-train params AND running stats
+    gvars = run['to_g'](netG.state_dict(), run['shaped_g'])
+
+    rng = np.random.default_rng(9)
+    noise = rng.normal(size=(BS, 8)).astype(np.float32)
+    txt = rng.normal(size=(BS, 12)).astype(np.float32) * 0.4
+    onehot = np.eye(5, dtype=np.float32)[[0, 1, 2, 3]]
+    prior = rng.normal(size=(BS, 8)).astype(np.float32)
+
+    k = jax.random.PRNGKey(5)
+    out, aux = G.apply(
+        gvars, jnp.asarray(noise), jnp.asarray(txt), jnp.asarray(onehot),
+        cls_prior=jnp.asarray(prior), train=False,
+        rngs={'reparam': k, 'cls_prior': k},
+        mutable=['intermediates'], capture_intermediates=True)
+    hcodes, mu1_j = out[0], out[1]
+    c1, m1, _, s1 = aux['intermediates']['ca_net1']['__call__'][0]
+    eps1 = torch.tensor(np.asarray((c1 - m1) / s1))
+    imgs = G.apply(gvars, hcodes, method='image')
+
+    rcfg.TEST.CLS_PRIOR = True
+    netG.eval()
+    try:
+        netG.ca_net1.reparametrize = lambda mu, logvar: (
+            mu + logvar.mul(0.5).exp() * eps1, logvar.mul(0.5).exp())
+        with torch.no_grad():
+            hcodes_t, mu1_t, mu2_t, *_ = netG(
+                torch.tensor(noise), torch.tensor(txt),
+                torch.tensor(onehot), cls_prior=torch.tensor(prior))
+            imgs_t = netG.image(hcodes_t)
+        assert float(torch.as_tensor(mu2_t).abs().max()) == 0.0
+    finally:
+        netG.train()
+    np.testing.assert_allclose(np.asarray(mu1_j), mu1_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    for kk in range(2):
+        np.testing.assert_allclose(
+            np.asarray(imgs[kk]),
+            imgs_t[kk].numpy().transpose(0, 2, 3, 1),
+            rtol=2e-3, atol=2e-3)
 
 
 def test_optax_adam_matches_torch_adam_exactly():
