@@ -59,6 +59,8 @@ def main():
         cfg.TPU_REMAT_G = os.environ['BENCH_REMAT_G']
     if os.environ.get('BENCH_GROUPED_D'):
         cfg.TPU_GROUPED_D = os.environ['BENCH_GROUPED_D'] == '1'
+    if os.environ.get('BENCH_PALLAS_DW'):
+        cfg.TPU_PALLAS_DW = os.environ['BENCH_PALLAS_DW'] == '1'
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

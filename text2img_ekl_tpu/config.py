@@ -178,9 +178,11 @@ class Config:
     TPU_SUBPIXEL_UP: bool = False
     # 3x3 convs: weight gradient via the Pallas streaming-dW kernel
     # (ops/conv_dw.py) where the geometry supports it. Measured and
-    # rejected on the v5e (0.66-1.03x vs XLA's own dW emitter at the hot
-    # shapes — PERF.md "Pallas dW kernel"); off by default, kept as an
-    # A/B escape hatch for other hardware. Parameters identical.
+    # rejected on the v5e (0.66-1.03x isolated vs XLA's own dW emitter;
+    # flagship E2E 1,352 vs 2,180 img/s, the custom-call boundary also
+    # blocks surrounding fusions — PERF.md "Pallas dW kernel"); off by
+    # default, kept as an A/B escape hatch for other hardware.
+    # Parameters identical.
     TPU_PALLAS_DW: bool = False
     # Rematerialize the generator forward in its backward pass
     # (jax.checkpoint around the saved-VJP forward in the fused step):

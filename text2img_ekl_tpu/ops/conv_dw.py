@@ -55,10 +55,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Row-tile per grid step, keyed by spatial width. Measured on the chip
-# (tools/bench_dw.py sweep): large tiles amortize the per-grid-step
-# overhead that dominated the first cut; the slab set (x + dy + X3 + Y3)
-# still fits well inside the 64 MB VMEM budget at C<=64.
+# Row-tile per grid step, keyed by spatial width. The chip sweep
+# (tools/bench_dw.py, tiles {16,32,64,128}) measured runtime nearly FLAT
+# in tile size (<5% spread — the kernel is limited by the in-VMEM
+# tap-stacking copies, not grid overhead; PERF.md "Pallas dW kernel"),
+# so these defaults just keep the slab set comfortably inside VMEM.
 _TILE_FOR_W = {32: 32, 64: 64, 128: 128, 256: 64, 512: 16}
 
 # Mosaic's default scoped-vmem limit is 16 MB; the reshape copies the
