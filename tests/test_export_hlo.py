@@ -52,6 +52,9 @@ def test_serving_blob_matches_direct_sampler(cfg_name):
     G, gvars = _init_eval_g(cfg, bs)
 
     exported = make_serving_exported(cfg, G, gvars, bs)
+    # the artifact must be lowered for BOTH serving backends — a
+    # single-platform export refuses to run anywhere else
+    assert set(exported.platforms) == {'cpu', 'tpu'}, exported.platforms
     blob = exported.serialize()
     assert isinstance(blob, (bytes, bytearray)) and len(blob) > 10_000
     fn = load_serving(bytes(blob))

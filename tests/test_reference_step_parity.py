@@ -590,6 +590,8 @@ def test_eval_mode_g_matches_reference(run):
     eps1 = torch.tensor(np.asarray((c1 - m1) / s1))
     imgs = G.apply(gvars, hcodes, method='image')
 
+    old_cls_prior = rcfg.TEST.CLS_PRIOR
+    old_reparam = netG.ca_net1.reparametrize
     rcfg.TEST.CLS_PRIOR = True
     netG.eval()
     try:
@@ -602,7 +604,11 @@ def test_eval_mode_g_matches_reference(run):
             imgs_t = netG.image(hcodes_t)
         assert float(torch.as_tensor(mu2_t).abs().max()) == 0.0
     finally:
+        # restore ALL shared state: the cfg singleton and this netG are
+        # module-scoped and visible to other test modules in-process
         netG.train()
+        netG.ca_net1.reparametrize = old_reparam
+        rcfg.TEST.CLS_PRIOR = old_cls_prior
     np.testing.assert_allclose(np.asarray(mu1_j), mu1_t.numpy(),
                                rtol=1e-4, atol=1e-5)
     for kk in range(2):

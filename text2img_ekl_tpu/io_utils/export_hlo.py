@@ -52,18 +52,28 @@ def serving_cond_shapes(cfg, batch_size: int) -> List[jax.ShapeDtypeStruct]:
 
 
 def make_serving_exported(cfg, G, g_variables: Dict[str, Any],
-                          batch_size: int):
+                          batch_size: int, tpu_only: bool = False):
     """Export the eval sampler with the weights baked in.
 
     Returns a jax.export.Exported; call `.serialize()` for the portable
     bytes. Eval-mode BatchNorm (running averages), matching
     `netG.eval()` under cfg.TEST.EVAL_MODE
     (cub_trainer_splitz_cap_ca.py:817).
+
+    Portability vs Pallas: jax.export lowers only for the requested
+    platforms, and the fused Pallas capsule kernel has no CPU lowering.
+    The default artifact is PORTABLE (platforms cpu+tpu): the generator
+    is cloned with ``use_pallas=False`` — identical parameters, the
+    pure-JAX routing path (ops/capsule.py, the semantic reference the
+    kernel is parity-tested against). ``tpu_only=True`` keeps the
+    Pallas kernels and lowers for TPU alone.
     """
     from jax import export as jexport
 
     from ..train.step import _pm1_to_uint8_dev, _sample_core
 
+    if not tpu_only and getattr(G, 'use_pallas', False):
+        G = G.clone(use_pallas=False)
     sample = _sample_core(G, train_mode=False)
     g_variables = jax.tree.map(jnp.asarray, g_variables)
 
@@ -74,7 +84,11 @@ def make_serving_exported(cfg, G, g_variables: Dict[str, Any],
     args = [jax.ShapeDtypeStruct((2,), jnp.uint32),
             jax.ShapeDtypeStruct((batch_size, cfg.GAN.Z_DIM), jnp.float32)]
     args += serving_cond_shapes(cfg, batch_size)
-    return jexport.export(jax.jit(serve))(*args)
+    # platforms: without this, jax.export lowers for the EXPORT-TIME
+    # backend only and Exported.call refuses other platforms — the
+    # portability story depends on requesting both here.
+    platforms = ('tpu',) if tpu_only else ('cpu', 'tpu')
+    return jexport.export(jax.jit(serve), platforms=platforms)(*args)
 
 
 def load_serving(blob: bytes):

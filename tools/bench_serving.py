@@ -25,7 +25,6 @@ def main():
                                                       make_serving_exported,
                                                       serving_cond_shapes)
     from text2img_ekl_tpu.models import build_generator
-    from text2img_ekl_tpu.train.step import cond_code_width
 
     bs = int(os.environ.get('BENCH_BS', 128))
     steps = int(os.environ.get('BENCH_STEPS', 30))
@@ -51,10 +50,13 @@ def main():
         rngs, noise0, *conds0)
     print('init: %.1fs' % (time.perf_counter() - t0), flush=True)
 
+    tpu_only = os.environ.get('BENCH_TPU_ONLY', '') == '1'
     t0 = time.perf_counter()
-    blob = make_serving_exported(cfg, G, gvars, bs).serialize()
-    print('export+serialize: %.1fs, %.1f MB'
-          % (time.perf_counter() - t0, len(blob) / 1e6), flush=True)
+    blob = make_serving_exported(cfg, G, gvars, bs,
+                                 tpu_only=tpu_only).serialize()
+    print('export+serialize (%s): %.1fs, %.1f MB'
+          % ('tpu-only' if tpu_only else 'portable',
+             time.perf_counter() - t0, len(blob) / 1e6), flush=True)
     fn = load_serving(blob)
 
     rng = np.random.default_rng(0)

@@ -29,6 +29,10 @@ def main():
                     help='override GAN.GF_DIM (must match the checkpoint)')
     ap.add_argument('--df_dim', type=int, default=0,
                     help='override GAN.DF_DIM (must match the checkpoint)')
+    ap.add_argument('--tpu_only', action='store_true',
+                    help='keep the Pallas capsule kernels (artifact then '
+                         'runs on TPU only; default is a portable cpu+tpu '
+                         'blob using the pure-JAX capsule path)')
     args = ap.parse_args()
 
     import jax
@@ -47,6 +51,16 @@ def main():
         cfg.GAN.GF_DIM = args.gf_dim
     if args.df_dim:
         cfg.GAN.DF_DIM = args.df_dim
+    # The checkpoint fixes the G architecture. Eval-flavor selection
+    # (TEST.G_CAPSULE) defaults False, so a train config that never set
+    # it would build a mismatched restore template — follow the
+    # checkpoint's (train) flavor unless the yaml set TEST.G_CAPSULE
+    # explicitly (as the reference's eval configs do).
+    import yaml
+    with open(args.cfg) as f:
+        raw = yaml.safe_load(f) or {}
+    if 'G_CAPSULE' not in (raw.get('TEST') or {}):
+        cfg.TEST.G_CAPSULE = cfg.TRAIN.G_CAPSULE
     G = build_generator(cfg, train_flag=False)
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
@@ -61,7 +75,8 @@ def main():
         st = restore_train_state(args.net_g, state)
         gvars = {'params': st.g_params, 'batch_stats': st.g_batch_stats}
 
-    exported = make_serving_exported(cfg, G, gvars, args.bs)
+    exported = make_serving_exported(cfg, G, gvars, args.bs,
+                                     tpu_only=args.tpu_only)
     blob = exported.serialize()
     with open(args.out, 'wb') as f:
         f.write(blob)
