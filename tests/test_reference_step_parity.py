@@ -112,13 +112,24 @@ def _install_stubs():
     tv = sys.modules['torchvision']
     tv.models = sys.modules['torchvision.models']
     tv.utils = sys.modules['torchvision.utils']
-    # capsule_layer: FUNCTIONAL stub (the G init stage routes through it)
-    cap = types.ModuleType('capsule_layer')
-    mods = types.ModuleType('capsule_layer.modules')
-    mods.CapsuleLinear = _TorchCapsuleLinear
-    cap.modules = mods
-    sys.modules['capsule_layer'] = cap
-    sys.modules['capsule_layer.modules'] = mods
+    # capsule_layer: FUNCTIONAL stub (the G init stage routes through
+    # it). If another test module already installed a stub AND
+    # /root/reference/model.py was imported against it, model.py holds
+    # that module OBJECT (`from capsule_layer import modules as
+    # capsule`, model.py:12) — replacing the sys.modules entries would
+    # not rebind it, so mutate the existing module in place.
+    if 'capsule_layer.modules' in sys.modules:
+        sys.modules['capsule_layer.modules'].CapsuleLinear = \
+            _TorchCapsuleLinear
+        sys.modules['capsule_layer'].modules = \
+            sys.modules['capsule_layer.modules']
+    else:
+        cap = types.ModuleType('capsule_layer')
+        mods = types.ModuleType('capsule_layer.modules')
+        mods.CapsuleLinear = _TorchCapsuleLinear
+        cap.modules = mods
+        sys.modules['capsule_layer'] = cap
+        sys.modules['capsule_layer.modules'] = mods
 
 
 @pytest.fixture(scope='module')
