@@ -398,3 +398,73 @@ def test_remat_g_matches_baseline(mode):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(results[mode]['fakes'],
                                results['']['fakes'], atol=1e-4)
+
+
+def test_grad_accum_matches_mesh():
+    """TPU_GRAD_ACCUM=k treats microbatches as virtual data-parallel
+    replicas: accum=8 on ONE device and (mesh 2, accum 4) both reproduce
+    the 8-device shard_map run — same per-(micro)batch BN statistics,
+    same RNG fold by virtual replica index, same averaged grads into one
+    Adam update. This is what lets few chips rehearse a big mesh's
+    numerics, or run an effective batch that doesn't fit."""
+    cfg = cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml'))
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    # f32 numerics path for program-equivalence at tight tolerance (the
+    # uint8/bf16 defaults round differently across compilation variants;
+    # see test_gspmd_mode_matches_single_device).
+    cfg.TPU_UINT8_INPUT = False
+    cfg.TPU_BN_DTYPE = 'float32'
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    batch = _batch(cfg, 16)
+
+    results = {}
+    for label, accum, n_dev in (('mesh8', 0, 8),
+                                ('accum8', 8, 1),
+                                ('mesh2_accum4', 4, 2)):
+        cfg.TPU_GRAD_ACCUM = accum
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
+        state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+        step = make_train_step(cfg, G, Ds, mesh)
+        b = shard_batch(mesh, batch) if mesh is not None else batch
+        new_state, metrics, fakes = step(state, b, jax.random.PRNGKey(1))
+        results[label] = dict(
+            metrics={k: float(v) for k, v in metrics.items()},
+            g1=np.asarray(jax.tree.leaves(new_state.g_params)[0]),
+            d1=np.asarray(jax.tree.leaves(new_state.d_params[0])[0]),
+            bs=np.asarray(jax.tree.leaves(new_state.g_batch_stats)[0]),
+            fakes=np.asarray(fakes))
+    cfg.TPU_GRAD_ACCUM = 0
+
+    ref = results['mesh8']
+    for label in ('accum8', 'mesh2_accum4'):
+        got = results[label]
+        for k, v in ref['metrics'].items():
+            np.testing.assert_allclose(got['metrics'][k], v,
+                                       rtol=2e-4, atol=1e-5,
+                                       err_msg='%s %s' % (label, k))
+        np.testing.assert_allclose(got['g1'], ref['g1'],
+                                   rtol=1e-4, atol=1e-6, err_msg=label)
+        np.testing.assert_allclose(got['d1'], ref['d1'],
+                                   rtol=1e-4, atol=1e-6, err_msg=label)
+        np.testing.assert_allclose(got['bs'], ref['bs'],
+                                   rtol=1e-5, atol=1e-7, err_msg=label)
+        np.testing.assert_allclose(got['fakes'], ref['fakes'],
+                                   atol=1e-4, err_msg=label)
+
+
+def test_grad_accum_requires_divisible_batch():
+    cfg = _small(cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml')))
+    cfg.TPU_GRAD_ACCUM = 3
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    step = make_train_step(cfg, G, Ds, None)
+    with pytest.raises(ValueError, match='TPU_GRAD_ACCUM'):
+        step(state, _batch(cfg, 4), jax.random.PRNGKey(1))

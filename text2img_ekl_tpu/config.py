@@ -208,6 +208,17 @@ class Config:
     # slab size, and H2D transfer per step. The step accepts either
     # dtype; this flag controls what the datasets/loaders emit.
     TPU_UINT8_INPUT: bool = True
+    # Gradient accumulation over k microbatches per step (0/1 = off).
+    # Each microbatch is a VIRTUAL data-parallel replica: per-microbatch
+    # BatchNorm statistics, RNG folded by virtual replica index
+    # (axis_index*k + j), gradients/running-stats/metrics averaged before
+    # the single Adam update — so (mesh n, accum k) reproduces a mesh n*k
+    # run's numerics exactly (tested vs the 8-device virtual mesh). Use it
+    # to (a) rehearse/debug a big-mesh run's numerics on fewer chips, or
+    # (b) run an effective batch that doesn't fit HBM — combine with
+    # TPU_REMAT_G to keep per-microbatch residuals instead of the full
+    # batch's. Batch size must be divisible by k.
+    TPU_GRAD_ACCUM: int = 0
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'
     TPU_CAPSULE_ITERATIONS: int = 3

@@ -104,6 +104,7 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         raise ValueError("TPU_REMAT_G must be ''|full|conv, got %r" % remat_g)
     from .state import zero1_shard_count
     n_shards = zero1_shard_count(cfg, mesh)  # >1 => ZeRO-1 weight update
+    accum = max(1, int(getattr(cfg, 'TPU_GRAD_ACCUM', 0) or 0))
 
     def opt_update(tx, grads, opt_state, params):
         """Replicated: pmean grads, full Adam everywhere. Sharded
@@ -139,9 +140,6 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         return jax.lax.pmean(x, DATA_AXIS)
 
     def local_step(state: TrainState, batch: Dict[str, Any], rng):
-        if coll_mesh is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-
         def _norm(x):
             # uint8 host batches (cfg.TPU_UINT8_INPUT): normalize on
             # device exactly as the host pipeline would — x/127.5-1 is
@@ -155,167 +153,243 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         batch['real'] = tuple(_norm(x) for x in batch['real'])
         batch['wrong'] = tuple(_norm(x) for x in batch['wrong'])
         bsz = batch['real'][0].shape[0]
-        k_noise, k_reparam, k_prior = jax.random.split(rng, 3)
-        noise = jax.random.normal(k_noise, (bsz, z_dim), jnp.float32)
-        rngs = {'reparam': k_reparam, 'cls_prior': k_prior}
-        ones = jnp.ones((bsz,), jnp.float32)
-        zeros = jnp.zeros((bsz,), jnp.float32)
-        real_cp = batch['real_cp']
-        fake_cp = jnp.zeros((bsz, entity_p1), jnp.float32).at[:, -1].set(1.0)
+        if bsz % accum:
+            raise ValueError(
+                'TPU_GRAD_ACCUM=%d must divide the per-device batch %d'
+                % (accum, bsz))
+        micro = bsz // accum
+
+        # Gradient accumulation (TPU_GRAD_ACCUM=k) treats each microbatch
+        # as a VIRTUAL data-parallel replica: per-microbatch BatchNorm
+        # statistics, RNG folded by virtual replica index
+        # axis_index*k + j, and gradients/running-stats/metrics averaged
+        # over microbatches before the single Adam update — exactly the
+        # math a k-times-larger shard_map mesh produces, so
+        # (mesh n, accum k) reproduces a mesh n*k run's numerics on fewer
+        # chips (tests/test_train_step.py::test_grad_accum_matches_mesh).
+        def mb(x, j):
+            return x[j * micro:(j + 1) * micro] if accum > 1 else x
+
+        def mb_noise_rngs(j):
+            r = rng
+            if coll_mesh is not None:
+                r = jax.random.fold_in(
+                    r, jax.lax.axis_index(DATA_AXIS) * accum + j)
+            elif accum > 1:
+                r = jax.random.fold_in(r, j)
+            k_noise, k_reparam, k_prior = jax.random.split(r, 3)
+            noise = jax.random.normal(k_noise, (micro, z_dim), jnp.float32)
+            return noise, {'reparam': k_reparam, 'cls_prior': k_prior}
+
+        def mb_mean(trees):
+            if accum == 1:
+                return trees[0]
+            return jax.tree.map(
+                lambda *xs: sum(xs[1:], xs[0]) / accum, *trees)
+
+        ones = jnp.ones((micro,), jnp.float32)
+        zeros = jnp.zeros((micro,), jnp.float32)
+        fake_cp = jnp.zeros(
+            (micro, entity_p1), jnp.float32).at[:, -1].set(1.0)
 
         # ---------------- Phase 1: generator forward (once), VJP saved ----
-        def gen_fn(pg):
-            gvars = {'params': pg, 'batch_stats': state.g_batch_stats}
-            if single_cond:
-                out, gstate = G.apply(gvars, noise, batch['cond'], train=True,
-                                      rngs=rngs, mutable=['batch_stats'])
-                hcodes, mu, logvar, std = out
-                mus, logvars = (mu,), (logvar,)
-                mu_d = mu
-            else:
-                out, gstate = G.apply(gvars, noise, batch['txt'],
-                                      batch['cls_onehot'], train=True,
-                                      rngs=rngs, mutable=['batch_stats'])
-                hcodes, mu1, mu2, lv1, lv2, std1, std2 = out
-                mus, logvars = (mu1, mu2), (lv1, lv2)
-                mu_d = fuse_mu(mu1, mu2, cat_z)
-            imgs = G.apply(gvars, hcodes, method='image')
-            return (tuple(imgs), mu_d, mus, logvars), gstate['batch_stats']
+        def make_gen_fn(noise, rngs, j):
+            def gen_fn(pg):
+                gvars = {'params': pg, 'batch_stats': state.g_batch_stats}
+                if single_cond:
+                    out, gstate = G.apply(gvars, noise, mb(batch['cond'], j),
+                                          train=True, rngs=rngs,
+                                          mutable=['batch_stats'])
+                    hcodes, mu, logvar, std = out
+                    mus, logvars = (mu,), (logvar,)
+                    mu_d = mu
+                else:
+                    out, gstate = G.apply(gvars, noise, mb(batch['txt'], j),
+                                          mb(batch['cls_onehot'], j),
+                                          train=True, rngs=rngs,
+                                          mutable=['batch_stats'])
+                    hcodes, mu1, mu2, lv1, lv2, std1, std2 = out
+                    mus, logvars = (mu1, mu2), (lv1, lv2)
+                    mu_d = fuse_mu(mu1, mu2, cat_z)
+                imgs = G.apply(gvars, hcodes, method='image')
+                return ((tuple(imgs), mu_d, mus, logvars),
+                        gstate['batch_stats'])
 
-        if remat_g:
-            # Trade recompute FLOPs for residual HBM traffic in the G
-            # backward (the step is HBM-bound; MXU is half idle — PERF.md).
-            # 'full': recompute the whole forward from g_params. 'conv':
-            # save the checkpoint_name('conv')-tagged matmul/conv/capsule
-            # outputs, recompute the BN/GLU elementwise chains between
-            # them inside the backward where they fuse into its convs.
-            policy = None if remat_g == 'full' else \
-                jax.checkpoint_policies.save_only_these_names('conv')
-            gen = jax.checkpoint(gen_fn, policy=policy)
-        else:
-            gen = gen_fn
-        gen_outs, g_vjp, new_g_bs = jax.vjp(gen, state.g_params,
-                                            has_aux=True)
-        imgs, mu_d, mus, logvars = gen_outs
-        mu_sg = jax.lax.stop_gradient(mu_d)
+            if remat_g:
+                # Trade recompute FLOPs for residual HBM traffic in the G
+                # backward (the step is HBM-bound; MXU is half idle —
+                # PERF.md). 'full': recompute the whole forward from
+                # g_params. 'conv': save the checkpoint_name('conv')-tagged
+                # matmul/conv/capsule outputs, recompute the BN/GLU
+                # elementwise chains between them inside the backward where
+                # they fuse into its convs.
+                policy = None if remat_g == 'full' else \
+                    jax.checkpoint_policies.save_only_these_names('conv')
+                return jax.checkpoint(gen_fn, policy=policy)
+            return gen_fn
+
+        gen_outs_l, g_vjp_l, g_bs_l, mu_sg_l = [], [], [], []
+        for j in range(accum):
+            noise, rngs = mb_noise_rngs(j)
+            gen_outs, g_vjp, g_bs = jax.vjp(make_gen_fn(noise, rngs, j),
+                                            state.g_params, has_aux=True)
+            gen_outs_l.append(gen_outs)
+            g_vjp_l.append(g_vjp)
+            g_bs_l.append(g_bs)
+            mu_sg_l.append(jax.lax.stop_gradient(gen_outs[1]))
+        new_g_bs = mb_mean(g_bs_l)
 
         # ---------------- Phase 2: D updates (real/wrong/fake) ------------
         new_d_params: List[Any] = []
-        new_d_bs: List[Any] = []
+        new_d_bs: List[List[Any]] = []  # [i][j] post-D-phase stats
         new_d_opts: List[Any] = []
-        m = {}
         errDs = errDs_match = errDs_uncond = errDs_cls = 0.0
         for i in range(num_ds):
             D = Ds[i]
-            fake_sg = jax.lax.stop_gradient(imgs[i])
+            d_grads_l, d_bs_l = [], []
+            errD_l, parts_l = [], []
+            for j in range(accum):
+                fake_sg = jax.lax.stop_gradient(gen_outs_l[j][0][i])
+                mu_sg = mu_sg_l[j]
+                real_i = mb(batch['real'][i], j)
+                wrong_i = mb(batch['wrong'][i], j)
+                real_cp = mb(batch['real_cp'], j)
 
-            def d_loss_fn(pd, i=i, D=D, fake_sg=fake_sg):
-                if grouped_d:
-                    # One grouped forward over stacked [real, wrong, fake]
-                    # instead of three sequential tower passes: vmap
-                    # computes per-group BatchNorm batch statistics, so
-                    # each group is normalized exactly as its own pass
-                    # would be (the reference's three separate forwards,
-                    # cub_trainer_splitz_cap_ca.py:418-420), while the
-                    # convs batch 3x and the stat reductions merge
-                    # 3 -> 1 kernels.
-                    stats0 = state.d_batch_stats[i]
+                def d_loss_fn(pd, i=i, D=D, fake_sg=fake_sg, mu_sg=mu_sg,
+                              real_i=real_i, wrong_i=wrong_i,
+                              real_cp=real_cp):
+                    if grouped_d:
+                        # One grouped forward over stacked [real, wrong,
+                        # fake] instead of three sequential tower passes:
+                        # vmap computes per-group BatchNorm batch
+                        # statistics, so each group is normalized exactly
+                        # as its own pass would be (the reference's three
+                        # separate forwards,
+                        # cub_trainer_splitz_cap_ca.py:418-420), while the
+                        # convs batch 3x and the stat reductions merge
+                        # 3 -> 1 kernels.
+                        stats0 = state.d_batch_stats[i]
 
-                    def one_pass(img):
-                        out, s = D.apply(
-                            {'params': pd, 'batch_stats': stats0},
-                            img, mu_sg, train=True,
+                        def one_pass(img):
+                            out, s = D.apply(
+                                {'params': pd, 'batch_stats': stats0},
+                                img, mu_sg, train=True,
+                                mutable=['batch_stats'])
+                            return out, s['batch_stats']
+
+                        outs, stats3 = jax.vmap(one_pass)(jnp.stack(
+                            [real_i, wrong_i, fake_sg]))
+                        rl = tuple(o[0] for o in outs)
+                        wl = tuple(o[1] for o in outs)
+                        fl = tuple(o[2] for o in outs)
+                        # Sequential running-average threading (real, then
+                        # wrong, then fake; new = a*old + (1-a)*batch with
+                        # a = BN momentum) combined exactly from the three
+                        # independent one-update results:
+                        #   s3 = a^2*s_r' + a*s_w' + s_f' - (a^2 + a)*s0
+                        from ..nn.blocks import BN_MOMENTUM as a
+                        s = {'batch_stats': jax.tree.map(
+                            lambda s3, s0: a * a * s3[0] + a * s3[1] + s3[2]
+                            - (a * a + a) * s0, stats3, stats0)}
+                    else:
+                        stats = state.d_batch_stats[i]
+                        rl, s = D.apply(
+                            {'params': pd, 'batch_stats': stats},
+                            real_i, mu_sg, train=True,
                             mutable=['batch_stats'])
-                        return out, s['batch_stats']
+                        wl, s = D.apply(
+                            {'params': pd, 'batch_stats': s['batch_stats']},
+                            wrong_i, mu_sg, train=True,
+                            mutable=['batch_stats'])
+                        fl, s = D.apply(
+                            {'params': pd, 'batch_stats': s['batch_stats']},
+                            fake_sg, mu_sg, train=True,
+                            mutable=['batch_stats'])
+                    errD_real = bce(rl[0], ones)
+                    errD_wrong = bce(wl[0], zeros)
+                    errD_fake = bce(fl[0], zeros)
+                    if len(rl) > 1 and uncond_coeff > 0:
+                        errD_match = errD_real + errD_wrong + errD_fake
+                        errD_uncond = uncond_coeff * (
+                            bce(rl[1], ones) + bce(wl[1], ones)
+                            + bce(fl[1], zeros))
+                        errD_cls = (ce_loss(rl[2], real_cp)
+                                    + ce_loss(fl[2], fake_cp))
+                        errD = errD_match + errD_uncond + errD_cls
+                    else:
+                        errD_match = errD_real + 0.5 * (errD_wrong
+                                                        + errD_fake)
+                        errD_uncond = errD_cls = jnp.zeros(())
+                        errD = errD_match
+                    return errD, (s['batch_stats'],
+                                  (errD_match, errD_uncond, errD_cls))
 
-                    outs, stats3 = jax.vmap(one_pass)(jnp.stack(
-                        [batch['real'][i], batch['wrong'][i], fake_sg]))
-                    rl = tuple(o[0] for o in outs)
-                    wl = tuple(o[1] for o in outs)
-                    fl = tuple(o[2] for o in outs)
-                    # Sequential running-average threading (real, then
-                    # wrong, then fake; new = a*old + (1-a)*batch with
-                    # a = BN momentum) combined exactly from the three
-                    # independent one-update results:
-                    #   s3 = a^2*s_r' + a*s_w' + s_f' - (a^2 + a)*s0
-                    from ..nn.blocks import BN_MOMENTUM as a
-                    s = {'batch_stats': jax.tree.map(
-                        lambda s3, s0: a * a * s3[0] + a * s3[1] + s3[2]
-                        - (a * a + a) * s0, stats3, stats0)}
-                else:
-                    stats = state.d_batch_stats[i]
-                    rl, s = D.apply({'params': pd, 'batch_stats': stats},
-                                    batch['real'][i], mu_sg, train=True,
-                                    mutable=['batch_stats'])
-                    wl, s = D.apply(
-                        {'params': pd, 'batch_stats': s['batch_stats']},
-                        batch['wrong'][i], mu_sg, train=True,
-                        mutable=['batch_stats'])
-                    fl, s = D.apply(
-                        {'params': pd, 'batch_stats': s['batch_stats']},
-                        fake_sg, mu_sg, train=True,
-                        mutable=['batch_stats'])
-                errD_real = bce(rl[0], ones)
-                errD_wrong = bce(wl[0], zeros)
-                errD_fake = bce(fl[0], zeros)
-                if len(rl) > 1 and uncond_coeff > 0:
-                    errD_match = errD_real + errD_wrong + errD_fake
-                    errD_uncond = uncond_coeff * (
-                        bce(rl[1], ones) + bce(wl[1], ones) + bce(fl[1], zeros))
-                    errD_cls = ce_loss(rl[2], real_cp) + ce_loss(fl[2], fake_cp)
-                    errD = errD_match + errD_uncond + errD_cls
-                else:
-                    errD_match = errD_real + 0.5 * (errD_wrong + errD_fake)
-                    errD_uncond = errD_cls = jnp.zeros(())
-                    errD = errD_match
-                return errD, (s['batch_stats'],
-                              (errD_match, errD_uncond, errD_cls))
+                (errD, (d_bs, parts)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(state.d_params[i])
+                d_grads_l.append(d_grads)
+                d_bs_l.append(d_bs)
+                errD_l.append(errD)
+                parts_l.append(parts)
 
-            (errD, (d_bs, parts)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(state.d_params[i])
-            updates, opt = opt_update(d_tx, d_grads, state.d_opt_states[i],
+            updates, opt = opt_update(d_tx, mb_mean(d_grads_l),
+                                      state.d_opt_states[i],
                                       state.d_params[i])
             new_d_params.append(jax.tree.map(
                 lambda p, u: p + u, state.d_params[i], updates))
-            new_d_bs.append(d_bs)
+            new_d_bs.append(d_bs_l)
             new_d_opts.append(opt)
-            errDs += errD
+            errDs += mb_mean(errD_l)
+            parts = mb_mean(parts_l)
             errDs_match += parts[0]
             errDs_uncond += parts[1]
             errDs_cls += parts[2]
 
         # ---------------- Phase 3: G loss through the updated Ds ----------
-        def g_loss_fn(outs):
-            imgs_, mu_d_, mus_, logvars_ = outs
-            match = uncond = cls_ = 0.0
-            final_bs = []
-            for i in range(num_ds):
-                o, s = Ds[i].apply(
-                    {'params': new_d_params[i], 'batch_stats': new_d_bs[i]},
-                    imgs_[i], mu_d_, train=True, mutable=['batch_stats'])
-                match += bce(o[0], ones)
-                if len(o) > 1 and uncond_coeff > 0:
-                    uncond += uncond_coeff * bce(o[1], ones)
-                    cls_ += ce_loss(o[2], real_cp)
-                final_bs.append(s['batch_stats'])
-            kls = [kl_loss(mu, lv) for mu, lv in zip(mus_, logvars_)]
-            total = match + uncond + cls_ + sum(kls) * kl_coeff
-            if color_coeff > 0 and num_ds > 1:
-                total += color_consistency_loss(imgs_[:num_ds], color_coeff)
-            return total, (match, uncond, cls_, tuple(kls), tuple(final_bs))
+        g_grads_l, aux_l, final_d_bs_l = [], [], []
+        for j in range(accum):
+            real_cp = mb(batch['real_cp'], j)
 
-        (errGs, (g_match, g_uncond, g_cls, kls, final_d_bs)), out_grads = \
-            jax.value_and_grad(g_loss_fn, has_aux=True)(gen_outs)
-        (g_grads,) = g_vjp(out_grads)
-        g_updates, g_opt = opt_update(g_tx, g_grads, state.g_opt_state,
-                                      state.g_params)
+            def g_loss_fn(outs, j=j, real_cp=real_cp):
+                imgs_, mu_d_, mus_, logvars_ = outs
+                match = uncond = cls_ = 0.0
+                final_bs = []
+                for i in range(num_ds):
+                    o, s = Ds[i].apply(
+                        {'params': new_d_params[i],
+                         'batch_stats': new_d_bs[i][j]},
+                        imgs_[i], mu_d_, train=True,
+                        mutable=['batch_stats'])
+                    match += bce(o[0], ones)
+                    if len(o) > 1 and uncond_coeff > 0:
+                        uncond += uncond_coeff * bce(o[1], ones)
+                        cls_ += ce_loss(o[2], real_cp)
+                    final_bs.append(s['batch_stats'])
+                kls = [kl_loss(mu, lv) for mu, lv in zip(mus_, logvars_)]
+                total = match + uncond + cls_ + sum(kls) * kl_coeff
+                if color_coeff > 0 and num_ds > 1:
+                    total += color_consistency_loss(imgs_[:num_ds],
+                                                    color_coeff)
+                return total, (match, uncond, cls_, tuple(kls),
+                               tuple(final_bs))
+
+            (errGs_j, aux_j), out_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(gen_outs_l[j])
+            (g_grads_j,) = g_vjp_l[j](out_grads)
+            g_grads_l.append(g_grads_j)
+            aux_l.append((errGs_j,) + aux_j[:4])
+            final_d_bs_l.append(aux_j[4])
+
+        errGs, g_match, g_uncond, g_cls, kls = mb_mean(aux_l)
+        g_updates, g_opt = opt_update(g_tx, mb_mean(g_grads_l),
+                                      state.g_opt_state, state.g_params)
         new_g_params = jax.tree.map(lambda p, u: p + u, state.g_params,
                                     g_updates)
 
-        # Per-replica running stats diverge across shards; keep replicas
-        # consistent (and deterministic) by averaging.
+        # Per-replica running stats diverge across shards (and across
+        # virtual microbatch replicas); keep replicas consistent (and
+        # deterministic) by averaging.
         new_g_bs = pmean(new_g_bs)
-        final_d_bs = pmean(tuple(final_d_bs))
+        final_d_bs = pmean(mb_mean(final_d_bs_l))
 
         # Optional generator EMA (avg_p = 0.999*avg_p + 0.001*p — the
         # reference's dormant update, cub_trainer_splitz_cap_ca.py:609-610).
@@ -345,7 +419,11 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
         }
         metrics = {k: pmean(jnp.asarray(v, jnp.float32))
                    for k, v in metrics.items()}
-        fakes = jax.lax.stop_gradient(imgs[-1])
+        # Top-stage fakes, reassembled in global batch order (microbatch j
+        # holds rows [j*micro, (j+1)*micro) of the local batch).
+        fakes = jax.lax.stop_gradient(
+            gen_outs_l[0][0][-1] if accum == 1 else
+            jnp.concatenate([o[0][-1] for o in gen_outs_l], axis=0))
         return new_state, metrics, fakes
 
     # Optional raised conv-scratch budget for the backend compiler
