@@ -61,6 +61,8 @@ def main():
         cfg.TPU_GROUPED_D = os.environ['BENCH_GROUPED_D'] == '1'
     if os.environ.get('BENCH_PALLAS_DW'):
         cfg.TPU_PALLAS_DW = os.environ['BENCH_PALLAS_DW'] == '1'
+    if os.environ.get('BENCH_GRAD_ACCUM'):
+        cfg.TPU_GRAD_ACCUM = int(os.environ['BENCH_GRAD_ACCUM'])
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 
