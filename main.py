@@ -61,19 +61,37 @@ def main():
     import numpy as np
     np.random.seed(args.manualSeed)
 
-    timestamp = datetime.datetime.now().strftime('%Y_%m_%d_%H_%M_%S')
-    output_dir = './output/%s_%s_%s' % (
-        cfg.DATASET_NAME, cfg.CONFIG_NAME, timestamp)
-
     split_dir = 'train'
     if not cfg.TRAIN.FLAG and cfg.DATASET_NAME in ('birds', 'flowers'):
         split_dir = 'test'
 
     print('Top-stack images size: %dx%d' % (cfg.imsize, cfg.imsize))
 
+    if os.environ.get('T2I_PLATFORM'):
+        # the JAX_PLATFORMS env var is ignored in images whose
+        # sitecustomize force-registers a TPU plugin; jax.config is the
+        # working switch (PERF.md) — used by the multi-process CPU smoke
+        import jax
+        jax.config.update('jax_platforms', os.environ['T2I_PLATFORM'])
+
     from text2img_ekl_tpu.parallel.mesh import init_distributed
-    if init_distributed():
+    distributed = init_distributed()
+    if distributed:
         print('jax.distributed initialized (multi-host)')
+
+    timestamp = datetime.datetime.now().strftime('%Y_%m_%d_%H_%M_%S')
+    if distributed:
+        # every host must use the SAME run directory: wall clocks drift
+        # across machines, and orbax checkpoint saves are collective
+        # (all processes write shards under one path)
+        import jax
+        import numpy as np
+        from jax.experimental import multihost_utils
+        buf = np.frombuffer(timestamp.encode().ljust(32), np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        timestamp = bytes(buf).decode().strip()
+    output_dir = './output/%s_%s_%s' % (
+        cfg.DATASET_NAME, cfg.CONFIG_NAME, timestamp)
 
     from text2img_ekl_tpu.train.trainer import CondGANTrainer
     algo = CondGANTrainer(cfg, output_dir)

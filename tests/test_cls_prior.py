@@ -123,3 +123,35 @@ def test_uncond_gnet_sampler_routes_without_cond_args():
     imgs2 = sampler(vs, jax.random.PRNGKey(1), noise)
     np.testing.assert_array_equal(np.asarray(imgs[-1]),
                                   np.asarray(imgs2[-1]))
+
+
+def test_uncond_gnet_state_init_and_train_gate(tmp_path):
+    """B_CONDITION=False: create_train_state must init GNet with noise
+    alone (previously the txt arg collided with train=), and
+    trainer.train() refuses the GNet family with a clear error — the
+    EKL step needs the conditional generators, and the reference's own
+    unconditional training branch is dead code (main.py:139 imports a
+    nonexistent GANTrainer)."""
+    cfg = cfg_from_file(REF)
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.GAN.B_CONDITION = False
+    cfg.TRAIN.FLAG = True
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TPU_SYNTHETIC_DATA = True
+    cfg.TPU_DATA_PARALLEL = 1
+    cfg.WORKERS = 1
+    from text2img_ekl_tpu.models import build_generator
+    from text2img_ekl_tpu.models.generator import GNet
+    from text2img_ekl_tpu.train import create_train_state
+    G = build_generator(cfg)
+    assert isinstance(G, GNet) and not G.b_condition
+    state = create_train_state(cfg, G, [], jax.random.PRNGKey(0), 0)
+    assert jax.tree.reduce(lambda a, x: a + x.size, state.g_params, 0) > 0
+
+    from text2img_ekl_tpu.train.trainer import CondGANTrainer
+    tr = CondGANTrainer(cfg, str(tmp_path))
+    with pytest.raises(NotImplementedError, match='unconditional'):
+        tr.train(max_steps=1)

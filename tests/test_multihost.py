@@ -1,0 +1,60 @@
+"""Real multi-PROCESS validation of the multi-host path.
+
+Everything else in the suite runs multi-device inside ONE process; this
+spawns tools/dryrun_multihost.py, which launches 2 actual processes
+(x4 virtual CPU devices each) plus a single-process 8-device reference,
+and asserts the fused train step produces the same losses either way.
+
+Runtime pieces this covers that in-process tests cannot:
+  * parallel.mesh.init_distributed() picking up the plain-launcher env
+    contract (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)
+  * jax.make_array_from_process_local_data assembly in shard_batch
+  * the step's pmeans riding cross-process (Gloo) collectives
+
+The reference has no multi-process mode at all (torch DataParallel only,
+/root/reference/main.py:132-135).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_step_matches_single_process(tmp_path):
+    out = tmp_path / 'MULTIHOST.json'
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(('JAX_', 'XLA_'))}
+    env['T2I_MULTIHOST_OUT'] = str(out)
+    env['T2I_MULTIHOST_PORT'] = '12973'  # keep clear of manual runs
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py')],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    report = json.loads(out.read_text())
+    assert report['ok']
+    for k in ('errG', 'errD'):
+        assert report['checks'][k]['rel'] <= 1e-4
+
+
+def test_two_process_main_cli_smoke(tmp_path):
+    """Full `main.py --synthetic` under 2 processes x 2 CPU devices —
+    the CLI multi-host path end to end: init_distributed, the
+    broadcast-shared run directory (wall clocks drift across hosts and
+    orbax saves are collective), the striding loader, the fused step
+    over the 4-device global mesh, process-0-only stdout, and the
+    collective epoch-0 snapshot."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(('JAX_', 'XLA_'))}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py'),
+         '--trainer'],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=1500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith('{')][-1]
+    report = json.loads(line)
+    assert report['ok'] and report['snapshots']

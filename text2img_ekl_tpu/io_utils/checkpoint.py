@@ -96,7 +96,9 @@ def parse_epoch_from_path(path: str) -> int:
 
 
 class CheckpointManager:
-    """Epoch-indexed checkpoint directory: <model_dir>/netG_epoch<N>."""
+    """Epoch-indexed checkpoint directory: <model_dir>/state_epoch<N>
+    (the reference's netG_epoch%d convention, but holding the FULL
+    TrainState; save is collective on multi-host runs)."""
 
     def __init__(self, model_dir: str):
         self.model_dir = _abspath(model_dir)

@@ -29,11 +29,22 @@ def init_distributed() -> bool:
 
     The data axis then spans all hosts' devices: per-host batch shards ride
     ICI within a slice and DCN across slices, with no trainer changes.
+
+    On managed clusters (Slurm/MPI/Cloud-TPU) jax auto-detects process
+    count/id, so ``JAX_COORDINATOR_ADDRESS`` alone is enough. A plain
+    launcher (one python per host, no scheduler) has nothing to
+    auto-detect — there it must also export ``JAX_NUM_PROCESSES`` and
+    ``JAX_PROCESS_ID``, which are passed through explicitly here
+    (exercised for real by tools/dryrun_multihost.py).
     """
     import os
     if os.environ.get('JAX_COORDINATOR_ADDRESS') or \
             os.environ.get('COORDINATOR_ADDRESS'):
-        jax.distributed.initialize()
+        nproc = os.environ.get('JAX_NUM_PROCESSES')
+        pid = os.environ.get('JAX_PROCESS_ID')
+        jax.distributed.initialize(
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
         return True
     return False
 

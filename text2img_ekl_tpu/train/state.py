@@ -170,8 +170,11 @@ def create_train_state(cfg, G, Ds, rng, cond_width: int,
     g_init = jax.jit(functools.partial(G.init, train=True,
                                        method='init_all'))
     if type(G).__name__ == 'GNet':
-        txt = jnp.zeros((bs, cfg.TEXT.DIMENSION), jnp.float32)
-        g_vars = g_init(rngs, noise, txt)
+        if getattr(G, 'b_condition', True):
+            txt = jnp.zeros((bs, cfg.TEXT.DIMENSION), jnp.float32)
+            g_vars = g_init(rngs, noise, txt)
+        else:  # B_CONDITION=False: netG(noise) alone (model.py:768-771)
+            g_vars = g_init(rngs, noise)
     elif type(G).__name__ == 'CondGNet':
         cond = jnp.zeros((bs, G.cond_dim), jnp.float32)
         g_vars = g_init(rngs, noise, cond)

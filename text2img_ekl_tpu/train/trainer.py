@@ -182,6 +182,15 @@ class CondGANTrainer:
     # ------------------------------------------------------------------
     def train(self, max_steps: Optional[int] = None):
         cfg = self.cfg
+        if type(self.G).__name__ == 'GNet':
+            # The EKL losses need the conditional families; the
+            # reference's own unconditional training branch is dead code
+            # (main.py:139 imports a nonexistent GANTrainer). GNet
+            # SAMPLING (evaluate) is routed and tested.
+            raise NotImplementedError(
+                'training the unconditional/legacy G_NET family is not '
+                'supported (dead code in the reference); use evaluate() '
+                'for GNet sampling or a COND_* generator for training')
         state = create_train_state(cfg, self.G, self.Ds,
                                    jax.random.PRNGKey(0), self.cond_width,
                                    mesh=self.mesh)

@@ -1,0 +1,306 @@
+"""Multi-PROCESS dryrun: the real fused train step across 2 processes.
+
+`__graft_entry__.dryrun_multichip` proves the multi-DEVICE step on a
+virtual mesh inside one process; this tool proves the multi-HOST pieces
+at runtime, which the unit suite can only check in-process:
+
+  * ``parallel.mesh.init_distributed()`` — the plain env-var launch path
+    (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES + JAX_PROCESS_ID),
+    exactly what a one-python-per-host rollout exports (DEPLOY.md).
+  * global-array assembly from per-process slabs:
+    ``shard_batch`` -> ``jax.make_array_from_process_local_data``.
+  * the fused shard_map step's gradient/stat pmeans riding CROSS-PROCESS
+    collectives (Gloo on CPU here; DCN on a real pod) instead of
+    single-process XLA all-reduce.
+
+Topology: 2 processes x 4 virtual CPU devices = the same 8-device data
+mesh the single-process gate uses, so the cross-check is exact: the
+same tiny-config step on the same global batch must produce the same
+losses whether the 8 replicas live in one process or two.
+
+Usage (launcher spawns everything):
+    python tools/dryrun_multihost.py            # writes MULTIHOST.json
+
+Reference for the parallelism being validated: the reference's only
+parallelism is single-process torch DataParallel (main.py:132-135);
+multi-host is a capability the TPU build adds (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get('T2I_MULTIHOST_PORT', '12931'))
+NPROC = 2
+DEV_PER_PROC = 4
+
+
+def _tiny_cfg():
+    from text2img_ekl_tpu.config import cfg_from_file
+    cfg = cfg_from_file(os.path.join(
+        REPO, 'cfg', 'birds_2stg_splitz_cap_ca.realcls.yml'))
+    # same tiny-shape recipe as __graft_entry__.dryrun_multichip: shrink
+    # dims, keep the pipeline; f32 so cross-topology losses compare
+    cfg.GAN.GF_DIM = 8
+    cfg.GAN.DF_DIM = 8
+    cfg.TRAIN.BATCH_SIZE = 2  # per device
+    cfg.TPU_CAPSULE_PALLAS = False
+    cfg.TPU_COMPUTE_DTYPE = 'float32'
+    cfg.TPU_BN_DTYPE = 'float32'
+    cfg.TPU_SPMD_MODE = 'shard_map'
+    cfg.TPU_SHARDED_ADAM = False
+    return cfg
+
+
+def _run_step(jax):
+    """Build state/batch deterministically and run ONE fused step over
+    ALL visible devices (global mesh). Returns {metric: float}."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.parallel import make_mesh, shard_batch
+    from text2img_ekl_tpu.train import create_train_state, make_train_step
+    from text2img_ekl_tpu.train.state import place_state_on_mesh
+    from text2img_ekl_tpu.train.step import (cond_code_width,
+                                             make_synthetic_batch)
+
+    cfg = _tiny_cfg()
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                               cond_code_width(cfg), mesh=mesh)
+    state = place_state_on_mesh(cfg, mesh, state)
+
+    # One deterministic GLOBAL batch; each process hands shard_batch only
+    # the rows its addressable devices own, in mesh order — the contract
+    # of make_array_from_process_local_data (and of the striding loader).
+    gbatch = make_synthetic_batch(cfg, cfg.TRAIN.BATCH_SIZE * n_dev)
+    if jax.process_count() > 1:
+        per = cfg.TRAIN.BATCH_SIZE
+        mine = [i for i, d in enumerate(mesh.devices.flat)
+                if d.process_index == jax.process_index()]
+        rows = np.concatenate([np.arange(i * per, (i + 1) * per)
+                               for i in mine])
+        gbatch = jax.tree.map(lambda x: np.asarray(x)[rows], gbatch)
+    batch = shard_batch(mesh, gbatch)
+
+    step_fn = make_train_step(cfg, G, Ds, mesh)
+    state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    out = {k: float(v) for k, v in metrics.items()}
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
+    return out
+
+
+def worker(pid: int) -> None:
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=%d' % DEV_PER_PROC
+    ).strip()
+    # the plain-launcher contract init_distributed() documents:
+    os.environ['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % PORT
+    os.environ['JAX_NUM_PROCESSES'] = str(NPROC)
+    os.environ['JAX_PROCESS_ID'] = str(pid)
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')  # env var is ignored here
+    from text2img_ekl_tpu.parallel import init_distributed
+    assert init_distributed(), 'coordinator env vars not picked up'
+    assert jax.process_count() == NPROC and jax.process_index() == pid
+    assert len(jax.devices()) == NPROC * DEV_PER_PROC
+    metrics = _run_step(jax)
+    print('MULTIHOST_RESULT %s' % json.dumps(
+        {'process': pid, 'metrics': metrics}), flush=True)
+
+
+def single() -> None:
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '')
+        + ' --xla_force_host_platform_device_count=%d'
+        % (NPROC * DEV_PER_PROC)).strip()
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    metrics = _run_step(jax)
+    print('MULTIHOST_RESULT %s' % json.dumps(
+        {'process': 'single', 'metrics': metrics}), flush=True)
+
+
+def _collect(proc) -> dict:
+    out, _ = proc.communicate(timeout=900)
+    for line in out.splitlines():
+        if line.startswith('MULTIHOST_RESULT '):
+            return json.loads(line[len('MULTIHOST_RESULT '):])
+    raise RuntimeError('no result line (rc=%s):\n%s' % (proc.returncode, out))
+
+
+def launch() -> dict:
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(('JAX_', 'XLA_'))}
+
+    def spawn(args):
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=dict(env), cwd=REPO)
+
+    workers = [spawn(['--worker', str(pid)]) for pid in range(NPROC)]
+    results = [_collect(p) for p in workers]
+    for p in workers:
+        assert p.returncode == 0, p.returncode
+    sp = _collect(spawn(['--single']))
+
+    m0, m1, ms = (results[0]['metrics'], results[1]['metrics'],
+                  sp['metrics'])
+    checks = {}
+    for k in ('errG', 'errD'):
+        # every process sees the SAME globally-reduced value
+        assert abs(m0[k] - m1[k]) <= 1e-6 * max(1.0, abs(m0[k])), (
+            k, m0[k], m1[k])
+        # 2x4 cross-process == 1x8 in-process (reduction-order noise only)
+        rel = abs(m0[k] - ms[k]) / max(1.0, abs(ms[k]))
+        assert rel <= 1e-4, (k, m0[k], ms[k], rel)
+        checks[k] = {'multi': m0[k], 'single': ms[k], 'rel': rel}
+
+    report = {
+        'ok': True,
+        'topology': '%d processes x %d cpu devices vs 1 x %d'
+                    % (NPROC, DEV_PER_PROC, NPROC * DEV_PER_PROC),
+        'checks': checks,
+        'multi_metrics': m0,
+        'single_metrics': ms,
+    }
+    out_path = os.environ.get('T2I_MULTIHOST_OUT',
+                              os.path.join(REPO, 'MULTIHOST.json'))
+    with open(out_path, 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return report
+
+
+# Tiny flagship-shaped config for the 2-process TRAINER smoke: split-z
+# capsule G/D pipeline at GF/DF=8 so CPU compiles stay cheap; IS gate
+# pushed out of range (the scorer would compile InceptionV3 per add);
+# SNAPSHOT_INTERVAL=1 forces the collective orbax save at epoch 0.
+_TRAINER_YML = """\
+CONFIG_NAME: 'mh-smoke'
+DATASET_NAME: 'birds'
+WORKERS: 2
+TREE:
+    BRANCH_NUM: 2
+TRAIN:
+    FLAG: True
+    BATCH_SIZE: 2
+    MAX_EPOCH: 300
+    SNAPSHOT_INTERVAL: 1
+    G_CAPSULE: True
+    D_CAPSULE: True
+    CAT_Z: 'concat'
+GAN:
+    GF_DIM: 8
+    DF_DIM: 8
+    Z_DIM: 128
+    EMBEDDING_DIM: 128
+    ENTITY_DIM: 200
+    MANIFD_DIM: 128
+    R_NUM: 2
+    B_CONDITION: True
+TPU_SYNTHETIC_DATA: True
+TPU_CAPSULE_PALLAS: False
+TPU_COMPUTE_DTYPE: 'float32'
+TPU_BN_DTYPE: 'float32'
+TPU_IS_EVERY: 1000000
+"""
+
+
+def launch_trainer(workdir: str | None = None) -> dict:
+    """Full `main.py --synthetic` under 2 processes x 2 CPU devices:
+    the REAL CLI path end to end — init_distributed, shared run-dir
+    broadcast, striding loader, fused step over the 4-device global
+    mesh, process-0-only logging, and the COLLECTIVE orbax snapshot."""
+    import tempfile
+    workdir = workdir or tempfile.mkdtemp(prefix='mh_trainer_')
+    cfg_path = os.path.join(workdir, 'mh_smoke.yml')
+    with open(cfg_path, 'w') as f:
+        f.write(_TRAINER_YML)
+
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith(('JAX_', 'XLA_'))}
+    procs = []
+    for pid in range(NPROC):
+        env = dict(base_env)
+        env['T2I_PLATFORM'] = 'cpu'
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % (PORT + 1)
+        env['JAX_NUM_PROCESSES'] = str(NPROC)
+        env['JAX_PROCESS_ID'] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, 'main.py'),
+             # max_steps=1: step_i==1 would trigger the in-training IS
+             # stream (step_i % TPU_IS_EVERY == 1 holds at 1 for any
+             # interval) and compile InceptionV3 on CPU for nothing
+             '--cfg', cfg_path, '--synthetic', '--max_steps', '1',
+             '--manualSeed', '7'],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=workdir))
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode, out[-4000:])
+
+    for out in outs:
+        assert 'jax.distributed initialized (multi-host)' in out
+    # stdout hygiene: the epoch loss line and the snapshot ack are
+    # process-0-only (trainer.is_main)
+    assert 'Loss_D_all' in outs[0], outs[0][-4000:]
+    assert 'Loss_D_all' not in outs[1], outs[1][-4000:]
+    assert 'Snapshot: save model ok' in outs[0]
+    assert 'Snapshot: save model ok' not in outs[1]
+
+    # both processes agreed on ONE run directory (timestamp broadcast)
+    runs = os.listdir(os.path.join(workdir, 'output'))
+    assert len(runs) == 1, runs
+    # ...and the collective orbax save landed there
+    model_dir = os.path.join(workdir, 'output', runs[0], 'Model')
+    snaps = [d for d in os.listdir(model_dir)
+             if d.startswith('state_epoch')]
+    assert snaps, os.listdir(model_dir)
+    # the collective save is complete and loadable (orbax writes a
+    # commit marker only after every process's shards land)
+    import glob
+    assert glob.glob(os.path.join(model_dir, snaps[0], '**', '*'),
+                     recursive=True)
+
+    report = {'ok': True, 'run_dir': runs[0], 'snapshots': snaps,
+              'topology': '2 processes x 2 cpu devices, main.py CLI'}
+    print(json.dumps(report))
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--worker', type=int, default=None)
+    ap.add_argument('--single', action='store_true')
+    ap.add_argument('--trainer', action='store_true',
+                    help='2-process main.py CLI smoke instead of the '
+                         'step-level cross-check')
+    args = ap.parse_args()
+    if args.worker is not None:
+        worker(args.worker)
+    elif args.single:
+        single()
+    elif args.trainer:
+        launch_trainer()
+    else:
+        launch()
+
+
+if __name__ == '__main__':
+    main()
