@@ -63,6 +63,8 @@ def main():
         cfg.TPU_PALLAS_DW = os.environ['BENCH_PALLAS_DW'] == '1'
     if os.environ.get('BENCH_GRAD_ACCUM'):
         cfg.TPU_GRAD_ACCUM = int(os.environ['BENCH_GRAD_ACCUM'])
+    if os.environ.get('BENCH_EMA'):
+        cfg.TPU_EMA_DECAY = float(os.environ['BENCH_EMA'])
     cfg.TRAIN.BATCH_SIZE = bs
     steps = int(os.environ.get('BENCH_STEPS', 30))
 

@@ -230,3 +230,69 @@ def test_zero1_checkpoint_topology_migration(tmp_path):
     batch4 = shard_batch(mesh4, make_synthetic_batch(cfg4, 8))
     r4p, m4, _ = step4(r4p, batch4, jax.random.PRNGKey(2))
     assert np.isfinite(float(m4['errG']))
+
+
+def test_checkpoint_ema_cross_restore(tmp_path):
+    """EMA flag flips across save/restore: an EMA-enabled template
+    restoring an older non-EMA checkpoint seeds the average from the
+    RESTORED weights (not the template's fresh init), and an EMA
+    checkpoint restores into a non-EMA template by dropping the slot
+    (io_utils/checkpoint._restore_migrating_topology)."""
+    import jax
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.train import create_train_state
+    from text2img_ekl_tpu.train.step import cond_code_width
+
+    def make(ema_decay):
+        cfg = cfg_from_file(
+            '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+        cfg.GAN.GF_DIM = 8
+        cfg.GAN.DF_DIM = 8
+        cfg.TPU_COMPUTE_DTYPE = 'float32'
+        cfg.TPU_CAPSULE_PALLAS = False
+        cfg.TPU_EMA_DECAY = ema_decay
+        G = build_generator(cfg)
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        return create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                  cond_code_width(cfg))
+
+    # old checkpoint: no EMA, weights doctored away from any fresh init
+    old = make(0.0)
+    assert old.g_ema_params is None
+    old = old.replace(
+        g_params=jax.tree.map(lambda p: p * 2.0 + 1.0, old.g_params),
+        step=jnp.asarray(7, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / 'Mold'))
+    mgr.save(old, epoch=1)
+
+    # restore into an EMA-enabled template: EMA == restored weights
+    tgt = make(0.999)
+    assert tgt.g_ema_params is not None
+    r = mgr.restore(tgt)
+    assert int(r.step) == 7
+    for a, p in zip(jax.tree.leaves(r.g_ema_params),
+                    jax.tree.leaves(r.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+    for a, p in zip(jax.tree.leaves(r.g_params),
+                    jax.tree.leaves(old.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+
+    # EMA checkpoint (averages doctored to differ from live weights)
+    withema = r.replace(
+        g_ema_params=jax.tree.map(lambda a: a - 0.5, r.g_ema_params))
+    mgr2 = CheckpointManager(str(tmp_path / 'Mema'))
+    mgr2.save(withema, epoch=2)
+
+    # same-structure restore keeps the averages bit-exact
+    r2 = mgr2.restore(make(0.999))
+    for a, b in zip(jax.tree.leaves(r2.g_ema_params),
+                    jax.tree.leaves(withema.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # ...and an EMA-off template drops the slot but keeps the weights
+    r3 = mgr2.restore(make(0.0))
+    assert r3.g_ema_params is None
+    for a, p in zip(jax.tree.leaves(r3.g_params),
+                    jax.tree.leaves(withema.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))

@@ -468,3 +468,60 @@ def test_grad_accum_requires_divisible_batch():
     step = make_train_step(cfg, G, Ds, None)
     with pytest.raises(ValueError, match='TPU_GRAD_ACCUM'):
         step(state, _batch(cfg, 4), jax.random.PRNGKey(1))
+
+
+def test_default_state_has_no_ema(flagship_run):
+    """TPU_EMA_DECAY=0 is the faithful default (the reference's
+    avg_param_G update is commented out): no EMA slot is carried."""
+    assert flagship_run['state'].g_ema_params is None
+
+
+def test_ema_update_math():
+    """TPU_EMA_DECAY>0: after one step,
+    ema == decay * ema0 + (1-decay) * updated_params exactly (the
+    reference's dormant avg_p.mul_(0.999).add_(0.001, p) formula,
+    cub_trainer_splitz_cap_ca.py:609-610)."""
+    cfg = _small(cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml')))
+    cfg.TPU_EMA_DECAY = 0.9
+    G = build_generator(cfg)
+    Ds = build_discriminators(cfg, cond_code_width(cfg))
+    state = create_train_state(cfg, G, Ds, RNG, cond_code_width(cfg))
+    assert state.g_ema_params is not None
+    # EMA starts as a copy of the init params
+    for a, p in zip(jax.tree.leaves(state.g_ema_params),
+                    jax.tree.leaves(state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+    ema0 = [np.asarray(l) for l in jax.tree.leaves(state.g_ema_params)]
+
+    step = make_train_step(cfg, G, Ds, None)
+    new_state, _, _ = step(state, _batch(cfg, 2), jax.random.PRNGKey(1))
+    new_p = [np.asarray(l) for l in jax.tree.leaves(new_state.g_params)]
+    new_a = [np.asarray(l) for l in jax.tree.leaves(new_state.g_ema_params)]
+    moved = 0.0
+    for a, e0, p in zip(new_a, ema0, new_p):
+        np.testing.assert_allclose(a, 0.9 * e0 + 0.1 * p,
+                                   rtol=1e-6, atol=1e-7)
+        moved = max(moved, float(np.max(np.abs(a - e0))))
+    assert moved > 0  # the update actually moved the average
+
+
+def test_eval_g_variables_prefers_ema():
+    """Offline eval/export scores the EMA weights when present (reference
+    save_model writes avg_param_G into the .pth) and always keeps the
+    LIVE BatchNorm buffers (copy_G_params covers only .parameters())."""
+    from text2img_ekl_tpu.train.state import TrainState, eval_g_variables
+    live = {'w': jnp.ones((2,))}
+    ema = {'w': jnp.full((2,), 3.0)}
+    bs = {'m': jnp.full((2,), 7.0)}
+    st = TrainState(step=jnp.zeros((), jnp.int32), g_params=live,
+                    g_batch_stats=bs, g_opt_state=None, d_params=(),
+                    d_batch_stats=(), d_opt_states=(), g_ema_params=ema)
+    v = eval_g_variables(st)
+    np.testing.assert_array_equal(np.asarray(v['params']['w']), 3.0)
+    np.testing.assert_array_equal(np.asarray(v['batch_stats']['m']), 7.0)
+    v_live = eval_g_variables(st, use_ema=False)
+    np.testing.assert_array_equal(np.asarray(v_live['params']['w']), 1.0)
+    st_off = st.replace(g_ema_params=None)
+    v_off = eval_g_variables(st_off)
+    np.testing.assert_array_equal(np.asarray(v_off['params']['w']), 1.0)

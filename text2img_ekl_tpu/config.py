@@ -237,6 +237,11 @@ class Config:
     # commented out, cub_trainer_splitz_cap_ca.py:609-610, so 0 is faithful;
     # 0.999 matches the reference's dormant formula).
     TPU_EMA_DECAY: float = 0.0
+    # Evaluate/export with the EMA weights when the restored state carries
+    # them (reference save_model writes avg_param_G into the .pth,
+    # cub_trainer_splitz_cap_ca.py:218-228, so an averaged run's eval
+    # weights ARE the averages). False scores the live weights instead.
+    TPU_EMA_EVAL: bool = True
     # Capture a jax.profiler trace for steps [3, 8) of the first epoch into
     # <output>/Log/profile (view with tensorboard / xprof).
     TPU_PROFILE: bool = False

@@ -79,12 +79,19 @@ def _restore_migrating_topology(path: str, target):
             migrate_opt_state(r, t, p) for r, t, p in zip(
                 raw['d_opt_states'], target.d_opt_states, d_params)),
     )
-    if raw.get('g_ema_params') is not None and \
-            target.g_ema_params is not None:
-        out = out.replace(g_ema_params=refit(raw['g_ema_params'],
-                                             target.g_ema_params))
-    print('!! checkpoint written under a different ZeRO-1 topology — '
-          'optimizer moments migrated (unpad -> repad) for this mesh')
+    if target.g_ema_params is not None:
+        if raw.get('g_ema_params') is not None:
+            out = out.replace(g_ema_params=refit(raw['g_ema_params'],
+                                                 target.g_ema_params))
+        else:
+            # EMA newly enabled on an older checkpoint: seed the average
+            # from the RESTORED weights (the template's fresh-init copy
+            # would be stale), like copy_G_params at train start.
+            out = out.replace(
+                g_ema_params=jax.tree.map(jax.numpy.copy, g_params))
+    print('!! checkpoint written under a different topology/structure — '
+          'state migrated (ZeRO-1 moments unpad -> repad, EMA slot '
+          'seeded/dropped) for this configuration')
     return out
 
 

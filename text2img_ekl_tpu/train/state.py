@@ -39,6 +39,23 @@ class TrainState:
     g_ema_params: Any = None
 
 
+def eval_g_variables(state: TrainState, use_ema: bool = True):
+    """Generator variables for offline sampling/eval/export.
+
+    When the state carries EMA weights, they are what an EMA run
+    evaluates: the reference's ``save_model`` writes ``avg_param_G`` into
+    the netG ``.pth`` before saving (cub_trainer_splitz_cap_ca.py:218-228),
+    so a reference eval of an averaged run inherently scores the averages.
+    BatchNorm running stats are always the live buffers —
+    ``copy_G_params`` covers only ``.parameters()``, never buffers
+    (cub_trainer_splitz_cap_ca.py:83-88).
+    """
+    params = state.g_params
+    if use_ema and state.g_ema_params is not None:
+        params = state.g_ema_params
+    return {'params': params, 'batch_stats': state.g_batch_stats}
+
+
 def zero1_shard_count(cfg, mesh) -> int:
     """Number of weight-update shards (1 = replicated Adam). Sharding is
     only active for TPU_SHARDED_ADAM on a multi-device shard_map mesh."""

@@ -495,8 +495,9 @@ class CondGANTrainer:
                 from ..io_utils.checkpoint import restore_train_state
                 state = self._place_state(
                     restore_train_state(cfg.TRAIN.NET_G, abstract))
-        g_vars = {'params': state.g_params,
-                  'batch_stats': state.g_batch_stats}
+        from .state import eval_g_variables
+        g_vars = eval_g_variables(state,
+                                  use_ema=getattr(cfg, 'TPU_EMA_EVAL', True))
         sampler = make_sample_fn(cfg, self.G, self.mesh,
                                  train_mode=not cfg.TEST.EVAL_MODE)
 

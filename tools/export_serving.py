@@ -72,8 +72,10 @@ def main():
                          'batch_stats': state.g_batch_stats})
     else:
         from text2img_ekl_tpu.io_utils.checkpoint import restore_train_state
+        from text2img_ekl_tpu.train.state import eval_g_variables
         st = restore_train_state(args.net_g, state)
-        gvars = {'params': st.g_params, 'batch_stats': st.g_batch_stats}
+        gvars = eval_g_variables(st,
+                                 use_ema=getattr(cfg, 'TPU_EMA_EVAL', True))
 
     exported = make_serving_exported(cfg, G, gvars, args.bs,
                                      tpu_only=args.tpu_only)
