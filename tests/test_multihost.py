@@ -58,3 +58,32 @@ def test_two_process_main_cli_smoke(tmp_path):
             if ln.startswith('{')][-1]
     report = json.loads(line)
     assert report['ok'] and report['snapshots']
+
+
+def test_coordinator_address_alias_passed_through(monkeypatch):
+    """jax reads only JAX_COORDINATOR_ADDRESS from the environment; the
+    bare COORDINATOR_ADDRESS alias the docs advertise must be handed to
+    initialize() explicitly or the gate would fire and the call fail."""
+    import jax
+    from text2img_ekl_tpu.parallel.mesh import init_distributed
+
+    calls = {}
+
+    def fake_initialize(coordinator_address=None, num_processes=None,
+                        process_id=None, **kw):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, 'initialize', fake_initialize)
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    monkeypatch.setenv('COORDINATOR_ADDRESS', 'host0:1234')
+    monkeypatch.setenv('JAX_NUM_PROCESSES', '2')
+    monkeypatch.setenv('JAX_PROCESS_ID', '1')
+    assert init_distributed()
+    assert calls == {'addr': 'host0:1234', 'n': 2, 'pid': 1}
+
+    # with the native var set, jax's own env handling wins (addr=None)
+    calls.clear()
+    monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'host0:1234')
+    assert init_distributed()
+    assert calls['addr'] is None

@@ -379,3 +379,46 @@ def test_load_torch_discriminator_file(flagship_d, tmp_path):
         np.testing.assert_array_equal(
             flat[('params', 'fc_ac_cap', 'weight')],
             sd['module.fc_ac_cap.0.weight'].numpy())
+
+
+def test_pth_load_reseeds_ema_from_loaded_weights(flagship_g, tmp_path):
+    """TPU_EMA_DECAY>0 + TRAIN.NET_G='.pth': the EMA slot must be
+    re-seeded from the LOADED weights — before the fix it kept
+    create_train_state's random-init copy, which eval (which prefers the
+    averages) would then silently score."""
+    torch = pytest.importorskip('torch')
+    cfg, G, g_vars = flagship_g
+    from text2img_ekl_tpu.io_utils.torch_import import load_torch_generator
+    from text2img_ekl_tpu.train.trainer import CondGANTrainer
+
+    rs = np.random.RandomState(3)
+    sd = {}
+    for k, shape in _flagship_torch_keys().items():
+        if k.endswith('num_batches_tracked'):
+            sd['module.' + k] = torch.tensor(0)
+        else:
+            val = rs.randn(*shape).astype('float32') * 0.05
+            if k.endswith('running_var'):
+                val = np.abs(val) + 1.0
+            sd['module.' + k] = torch.tensor(val)
+    p = str(tmp_path / 'netG_210000.pth')
+    torch.save(sd, p)
+
+    import jax.numpy as jnp
+    from text2img_ekl_tpu.train.state import TrainState
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), g_params=g_vars['params'],
+        g_batch_stats=g_vars['batch_stats'], g_opt_state=None,
+        d_params=(), d_batch_stats=(), d_opt_states=(),
+        g_ema_params=jax.tree.map(jnp.copy, g_vars['params']))
+    # _load_pth_generator reads only (pth_path, state); no trainer needed
+    loaded = CondGANTrainer._load_pth_generator(None, p, state)
+    for a, q in zip(jax.tree.leaves(loaded.g_ema_params),
+                    jax.tree.leaves(loaded.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(q))
+    # and the weights really are the .pth's, not the init
+    expect = sd['module.h_net1.fc_cap.1.weight'].numpy()
+    got = flax.traverse_util.flatten_dict(
+        {'params': loaded.g_ema_params})[
+            ('params', 'h_net1', 'fc_cap', 'weight')]
+    np.testing.assert_array_equal(np.asarray(got), expect)

@@ -42,7 +42,13 @@ def init_distributed() -> bool:
             os.environ.get('COORDINATOR_ADDRESS'):
         nproc = os.environ.get('JAX_NUM_PROCESSES')
         pid = os.environ.get('JAX_PROCESS_ID')
+        # jax reads only JAX_COORDINATOR_ADDRESS from the environment
+        # itself; the bare COORDINATOR_ADDRESS alias must be passed through
+        # explicitly or the gate would fire and initialize() would fail.
+        addr = (None if os.environ.get('JAX_COORDINATOR_ADDRESS')
+                else os.environ.get('COORDINATOR_ADDRESS'))
         jax.distributed.initialize(
+            coordinator_address=addr,
             num_processes=int(nproc) if nproc else None,
             process_id=int(pid) if pid else None)
         return True

@@ -399,8 +399,15 @@ class CondGANTrainer:
         from ..io_utils.torch_import import load_torch_generator
         g_vars = load_torch_generator(pth_path, {
             'params': state.g_params, 'batch_stats': state.g_batch_stats})
+        ema = state.g_ema_params
+        if ema is not None:
+            # seed the average from the LOADED weights — the slot still
+            # holds create_train_state's random-init copy, which would
+            # otherwise be what eval scores / resume averages from
+            ema = jax.tree.map(jnp.copy, g_vars['params'])
         return state.replace(g_params=g_vars['params'],
-                             g_batch_stats=g_vars['batch_stats'])
+                             g_batch_stats=g_vars['batch_stats'],
+                             g_ema_params=ema)
 
     def _load_pth_discriminators(self, net_d_prefix: str, state):
         """Reference netD<i>.pth snapshots -> our JointDNet params/BN stats
@@ -496,8 +503,7 @@ class CondGANTrainer:
                 state = self._place_state(
                     restore_train_state(cfg.TRAIN.NET_G, abstract))
         from .state import eval_g_variables
-        g_vars = eval_g_variables(state,
-                                  use_ema=getattr(cfg, 'TPU_EMA_EVAL', True))
+        g_vars = eval_g_variables(state, use_ema=cfg.TPU_EMA_EVAL)
         sampler = make_sample_fn(cfg, self.G, self.mesh,
                                  train_mode=not cfg.TEST.EVAL_MODE)
 

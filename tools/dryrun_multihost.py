@@ -153,9 +153,19 @@ def launch() -> dict:
             env=dict(env), cwd=REPO)
 
     workers = [spawn(['--worker', str(pid)]) for pid in range(NPROC)]
-    results = [_collect(p) for p in workers]
-    for p in workers:
-        assert p.returncode == 0, p.returncode
+    try:
+        results = [_collect(p) for p in workers]
+        for p in workers:
+            assert p.returncode == 0, p.returncode
+    finally:
+        # never leave orphans: a worker that died early (port bound,
+        # import error) wedges its peer in a distributed barrier, and
+        # killing only the launcher would leave that peer holding the
+        # coordinator port and the CPU for the rest of the suite
+        for p in workers:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     sp = _collect(spawn(['--single']))
 
     m0, m1, ms = (results[0]['metrics'], results[1]['metrics'],
@@ -226,7 +236,9 @@ def launch_trainer(workdir: str | None = None) -> dict:
     the REAL CLI path end to end — init_distributed, shared run-dir
     broadcast, striding loader, fused step over the 4-device global
     mesh, process-0-only logging, and the COLLECTIVE orbax snapshot."""
+    import shutil
     import tempfile
+    cleanup = workdir is None
     workdir = workdir or tempfile.mkdtemp(prefix='mh_trainer_')
     cfg_path = os.path.join(workdir, 'mh_smoke.yml')
     with open(cfg_path, 'w') as f:
@@ -251,9 +263,16 @@ def launch_trainer(workdir: str | None = None) -> dict:
              '--manualSeed', '7'],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=workdir))
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode, out[-4000:])
+    try:
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode,
+                                                     out[-4000:])
+    finally:
+        for p in procs:  # no orphans on timeout/assertion (see launch())
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
     for out in outs:
         assert 'jax.distributed initialized (multi-host)' in out
@@ -280,6 +299,11 @@ def launch_trainer(workdir: str | None = None) -> dict:
 
     report = {'ok': True, 'run_dir': runs[0], 'snapshots': snaps,
               'topology': '2 processes x 2 cpu devices, main.py CLI'}
+    if cleanup:
+        # self-made tempdir: remove on success (every assertion above
+        # passed); kept on failure for debugging, and caller-provided
+        # workdirs are never touched
+        shutil.rmtree(workdir, ignore_errors=True)
     print(json.dumps(report))
     return report
 

@@ -74,8 +74,7 @@ def main():
         from text2img_ekl_tpu.io_utils.checkpoint import restore_train_state
         from text2img_ekl_tpu.train.state import eval_g_variables
         st = restore_train_state(args.net_g, state)
-        gvars = eval_g_variables(st,
-                                 use_ema=getattr(cfg, 'TPU_EMA_EVAL', True))
+        gvars = eval_g_variables(st, use_ema=cfg.TPU_EMA_EVAL)
 
     exported = make_serving_exported(cfg, G, gvars, args.bs,
                                      tpu_only=args.tpu_only)
