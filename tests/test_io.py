@@ -236,7 +236,10 @@ def test_checkpoint_ema_cross_restore(tmp_path):
     """EMA flag flips across save/restore: an EMA-enabled template
     restoring an older non-EMA checkpoint seeds the average from the
     RESTORED weights (not the template's fresh init), and an EMA
-    checkpoint restores into a non-EMA template by dropping the slot
+    checkpoint restores into a non-EMA template KEEPING the averages —
+    eval configs never set TPU_EMA_DECAY, and silently scoring live
+    weights would defeat the feature (the reference's save_model bakes
+    avg_param_G into the .pth, cub_trainer_splitz_cap_ca.py:218-228)
     (io_utils/checkpoint._restore_migrating_topology)."""
     import jax
     from text2img_ekl_tpu.config import cfg_from_file
@@ -290,9 +293,14 @@ def test_checkpoint_ema_cross_restore(tmp_path):
                     jax.tree.leaves(withema.g_ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    # ...and an EMA-off template drops the slot but keeps the weights
+    # ...and an EMA-off template (an eval/resume yml that never sets
+    # TPU_EMA_DECAY) still restores the averages bit-exact — they are
+    # part of the trained state and eval prefers them (TPU_EMA_EVAL)
     r3 = mgr2.restore(make(0.0))
-    assert r3.g_ema_params is None
+    assert r3.g_ema_params is not None
+    for a, b in zip(jax.tree.leaves(r3.g_ema_params),
+                    jax.tree.leaves(withema.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, p in zip(jax.tree.leaves(r3.g_params),
                     jax.tree.leaves(withema.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(p))

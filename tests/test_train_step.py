@@ -80,6 +80,17 @@ def test_flagship_step_metrics_finite(flagship_run):
         assert np.isfinite(v), k
 
 
+def test_flagship_posterior_diagnostics(flagship_run):
+    """The step reports CA/VC posterior mu/std means for both split-z
+    paths — the reference's per-epoch mu/std dump
+    (cub_trainer_splitz_cap_ca.py:655-656), reduced to scalars. std comes
+    out of exp(0.5*logvar) so it must be strictly positive."""
+    m = flagship_run['metrics']
+    for path in ('sen', 'cls'):
+        assert 'mu_%s_mean' % path in m
+        assert m['std_%s_mean' % path] > 0
+
+
 def test_flagship_step_returns_top_stage_fakes(flagship_run):
     """The step hands back its own top-stage fakes for the IS stream
     (reference scores the step's fakes, cub_trainer:613-623)."""

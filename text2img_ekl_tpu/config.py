@@ -232,6 +232,7 @@ class Config:
     TPU_NATIVE_DECODE: bool = True
     # Steps between on-device inception-score prediction batches (the
     # reference evaluates every other step; cub_trainer_splitz_cap_ca.py:614).
+    # <=0 or an interval longer than the run disables the stream entirely.
     TPU_IS_EVERY: int = 2
     # Generator EMA decay (0 disables; the reference's avg_param_G update is
     # commented out, cub_trainer_splitz_cap_ca.py:609-610, so 0 is faithful;

@@ -79,19 +79,24 @@ def _restore_migrating_topology(path: str, target):
             migrate_opt_state(r, t, p) for r, t, p in zip(
                 raw['d_opt_states'], target.d_opt_states, d_params)),
     )
-    if target.g_ema_params is not None:
-        if raw.get('g_ema_params') is not None:
-            out = out.replace(g_ema_params=refit(raw['g_ema_params'],
-                                                 target.g_ema_params))
-        else:
-            # EMA newly enabled on an older checkpoint: seed the average
-            # from the RESTORED weights (the template's fresh-init copy
-            # would be stale), like copy_G_params at train start.
-            out = out.replace(
-                g_ema_params=jax.tree.map(jax.numpy.copy, g_params))
+    if raw.get('g_ema_params') is not None:
+        # The averages are part of the trained state: restore them even
+        # when the template lacks the slot (an eval/resume config that
+        # never sets TPU_EMA_DECAY) — the reference's save_model bakes
+        # avg_param_G into the .pth, so a reference eval of an averaged
+        # run inherently scores the averages. TPU_EMA_EVAL=False is the
+        # way to score live weights, never a config-shape accident.
+        out = out.replace(g_ema_params=refit(raw['g_ema_params'],
+                                             g_params))
+    elif target.g_ema_params is not None:
+        # EMA newly enabled on an older checkpoint: seed the average
+        # from the RESTORED weights (the template's fresh-init copy
+        # would be stale), like copy_G_params at train start.
+        out = out.replace(
+            g_ema_params=jax.tree.map(jax.numpy.copy, g_params))
     print('!! checkpoint written under a different topology/structure — '
           'state migrated (ZeRO-1 moments unpad -> repad, EMA slot '
-          'seeded/dropped) for this configuration')
+          'seeded/restored) for this configuration')
     return out
 
 

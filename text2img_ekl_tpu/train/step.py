@@ -417,6 +417,16 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
             'kl_sen': kls[0],
             'kl_cls': kls[1] if len(kls) > 1 else jnp.zeros(()),
         }
+        # Posterior diagnostics: the reference dumps the batch-mean CA/VC
+        # mu and std vectors every epoch (cub_trainer_splitz_cap_ca.py:
+        # 655-656) to watch for posterior collapse (std -> 0). Compact
+        # scalar form: mean over batch AND dims per conditioning path.
+        path_names = ('sen', 'cls')
+        for p in range(len(gen_outs_l[0][2])):
+            metrics['mu_%s_mean' % path_names[p]] = sum(
+                jnp.mean(o[2][p]) for o in gen_outs_l) / accum
+            metrics['std_%s_mean' % path_names[p]] = sum(
+                jnp.mean(jnp.exp(0.5 * o[3][p])) for o in gen_outs_l) / accum
         metrics = {k: pmean(jnp.asarray(v, jnp.float32))
                    for k, v in metrics.items()}
         # Top-stage fakes, reassembled in global batch order (microbatch j

@@ -273,7 +273,13 @@ class CondGANTrainer:
                 count += 1
                 total_steps += 1
 
-                if scorer is not None and step_i % cfg.TPU_IS_EVERY == 1:
+                # every-N gate that really honors N: (step_i+1) % N == 0
+                # fires after each N steps (N=2 -> steps 1,3,5.., the
+                # reference's every-other-step cadence, cub_trainer:613),
+                # and a huge N genuinely disables the stream — the old
+                # `% N == 1` form fired at step 1 of every epoch for ANY N
+                if scorer is not None and cfg.TPU_IS_EVERY > 0 and \
+                        (step_i + 1) % cfg.TPU_IS_EVERY == 0:
                     # the step's own fakes, device-resident — one inception
                     # forward is the gate's only cost (the reference reuses
                     # its fakes the same way, cub_trainer:613-623)
@@ -306,6 +312,16 @@ class CondGANTrainer:
                          m.get('errG_match', 0), m.get('errG_uncond', 0),
                          m.get('errG_cls', 0), m.get('kl_sen', 0),
                          m.get('kl_cls', 0), elapsed))
+                if 'std_sen_mean' in m:
+                    # posterior-collapse watch, the reference's per-epoch
+                    # mu/std dump (cub_trainer_splitz_cap_ca.py:655-656)
+                    # reduced to batch+dim means
+                    line = ('  Sentence mu/std (mean): %.4f / %.4f'
+                            % (m['mu_sen_mean'], m['std_sen_mean']))
+                    if 'std_cls_mean' in m:
+                        line += ('  Class mu/std (mean): %.4f / %.4f'
+                                 % (m['mu_cls_mean'], m['std_cls_mean']))
+                    print(line)
 
             if last_batch is not None:
                 # every process joins (the sampler forward is an SPMD

@@ -134,12 +134,33 @@ def single() -> None:
         {'process': 'single', 'metrics': metrics}), flush=True)
 
 
-def _collect(proc) -> dict:
-    out, _ = proc.communicate(timeout=900)
+def _drain(procs, timeout=900):
+    """communicate() every proc, assert rc=0, and on ANY failure —
+    timeout, nonzero exit, assertion — kill the survivors. One worker
+    dying early (port bound, import error, stuck compile) wedges its
+    peer in a distributed barrier holding the coordinator port and the
+    only CPU core for the rest of the suite; every spawn site must be
+    orphan-safe by construction, so all of them drain through here."""
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout)[0])
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode,
+                                                     out[-4000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    return outs
+
+
+def _parse_result(out: str) -> dict:
     for line in out.splitlines():
         if line.startswith('MULTIHOST_RESULT '):
             return json.loads(line[len('MULTIHOST_RESULT '):])
-    raise RuntimeError('no result line (rc=%s):\n%s' % (proc.returncode, out))
+    raise RuntimeError('no result line:\n%s' % out)
 
 
 def launch() -> dict:
@@ -153,20 +174,8 @@ def launch() -> dict:
             env=dict(env), cwd=REPO)
 
     workers = [spawn(['--worker', str(pid)]) for pid in range(NPROC)]
-    try:
-        results = [_collect(p) for p in workers]
-        for p in workers:
-            assert p.returncode == 0, p.returncode
-    finally:
-        # never leave orphans: a worker that died early (port bound,
-        # import error) wedges its peer in a distributed barrier, and
-        # killing only the launcher would leave that peer holding the
-        # coordinator port and the CPU for the rest of the suite
-        for p in workers:
-            if p.poll() is None:
-                p.kill()
-                p.communicate()
-    sp = _collect(spawn(['--single']))
+    results = [_parse_result(o) for o in _drain(workers)]
+    sp = _parse_result(_drain([spawn(['--single'])])[0])
 
     m0, m1, ms = (results[0]['metrics'], results[1]['metrics'],
                   sp['metrics'])
@@ -256,23 +265,14 @@ def launch_trainer(workdir: str | None = None) -> dict:
         env['JAX_PROCESS_ID'] = str(pid)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, 'main.py'),
-             # max_steps=1: step_i==1 would trigger the in-training IS
-             # stream (step_i % TPU_IS_EVERY == 1 holds at 1 for any
-             # interval) and compile InceptionV3 on CPU for nothing
+             # TPU_IS_EVERY=1000000 in the yml disables the in-training
+             # IS stream outright (no InceptionV3 compile on CPU);
+             # max_steps=1 keeps the smoke to a single fused step
              '--cfg', cfg_path, '--synthetic', '--max_steps', '1',
              '--manualSeed', '7'],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=workdir))
-    try:
-        outs = [p.communicate(timeout=1500)[0] for p in procs]
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode,
-                                                     out[-4000:])
-    finally:
-        for p in procs:  # no orphans on timeout/assertion (see launch())
-            if p.poll() is None:
-                p.kill()
-                p.communicate()
+    outs = _drain(procs, timeout=1500)
 
     for out in outs:
         assert 'jax.distributed initialized (multi-host)' in out
