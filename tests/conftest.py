@@ -23,6 +23,19 @@ import jax  # noqa: E402
 if os.environ.get('T2I_TEST_TPU') != '1':
     jax.config.update('jax_platforms', 'cpu')
 
+# Persistent XLA compilation cache: the suite's wall time on a 1-core host
+# is dominated by the fused-train-step compiles (~90 min cold), and XLA:CPU
+# AOT results are reloadable across processes. Point T2I_JAX_CACHE at a
+# directory (e.g. /root/repo/.jax_cache) to make suite RE-runs skip every
+# previously-seen compile. Opt-in: the loader logs spurious machine-feature
+# E-lines (XLA tuning pseudo-features like +prefer-no-scatter are compared
+# against host CPUID), and a default-on cache would mask compile-time
+# regressions in timing-sensitive CI.
+_cache = os.environ.get('T2I_JAX_CACHE')
+if _cache:
+    jax.config.update('jax_compilation_cache_dir', _cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
 import pytest  # noqa: E402
 
 
