@@ -50,6 +50,40 @@ def test_checkpoint_latest_picks_highest_epoch(tmp_path):
     assert mgr.latest().endswith('state_epoch9')
 
 
+def test_checkpoint_retention_policy(tmp_path):
+    """TPU_KEEP_CHECKPOINTS bounds snapshots on disk: after each save the
+    oldest unprotected epochs beyond the newest `keep` are pruned, while
+    IS-gated "good model" saves (protect=True) survive forever. keep=0 is
+    the reference's never-delete behavior
+    (cub_trainer_splitz_cap_ca.py:662-667)."""
+    import flax
+
+    @flax.struct.dataclass
+    class S:
+        step: jnp.ndarray
+
+    mgr = CheckpointManager(str(tmp_path / 'Model'), keep=2)
+    for e in range(5):
+        mgr.save(S(step=jnp.asarray(e)), epoch=e, protect=(e == 1))
+    left = sorted(n for n in os.listdir(mgr.model_dir)
+                  if n.startswith('state_epoch'))
+    assert left == ['state_epoch1', 'state_epoch3', 'state_epoch4']
+    assert mgr.latest().endswith('state_epoch4')
+    # the survivors still restore
+    r = mgr.restore(S(step=jnp.asarray(0)))
+    assert int(r.step) == 4
+
+    # prune=False (non-main host processes) never deletes
+    mgr.save(S(step=jnp.asarray(5)), epoch=5, prune=False)
+    assert len(mgr._epochs()) == 4
+
+    # keep=0 keeps everything
+    mgr0 = CheckpointManager(str(tmp_path / 'Model0'), keep=0)
+    for e in range(4):
+        mgr0.save(S(step=jnp.asarray(e)), epoch=e)
+    assert len(mgr0._epochs()) == 4
+
+
 def test_make_grid_layout():
     imgs = np.zeros((5, 8, 8, 3), np.float32)
     grid = make_grid(imgs, nrow=4, padding=2)

@@ -246,6 +246,13 @@ class Config:
     # Capture a jax.profiler trace for steps [3, 8) of the first epoch into
     # <output>/Log/profile (view with tensorboard / xprof).
     TPU_PROFILE: bool = False
+    # Keep at most this many epoch snapshots on disk (oldest pruned after
+    # each save); IS-gated "good model" saves are always kept. 0 keeps
+    # everything — the reference's behavior (it never deletes a .pth,
+    # cub_trainer_splitz_cap_ca.py:662-667), but our snapshots hold the
+    # FULL TrainState (G+D params, BN stats, Adam moments), so a
+    # 300-epoch run writes ~130 of them; bound this for long runs.
+    TPU_KEEP_CHECKPOINTS: int = 0
 
     # ------------------------------------------------------------------
     @property

@@ -110,19 +110,54 @@ def parse_epoch_from_path(path: str) -> int:
 class CheckpointManager:
     """Epoch-indexed checkpoint directory: <model_dir>/state_epoch<N>
     (the reference's netG_epoch%d convention, but holding the FULL
-    TrainState; save is collective on multi-host runs)."""
+    TrainState; save is collective on multi-host runs).
 
-    def __init__(self, model_dir: str):
+    ``keep`` bounds disk: after each save the oldest unprotected
+    snapshots beyond the newest ``keep`` are deleted (0 = keep all, the
+    reference's never-delete behavior). ``save(..., protect=True)``
+    (the trainer's IS-gated "good model" saves) writes a sidecar
+    ``.protect_epoch<N>`` marker exempting that epoch forever. Pruning
+    must only run on process 0 of a multi-host job (saves are
+    collective; the trainer passes ``prune=is_main``)."""
+
+    def __init__(self, model_dir: str, keep: int = 0):
         self.model_dir = _abspath(model_dir)
+        self.keep = keep
         os.makedirs(self.model_dir, exist_ok=True)
 
     def path(self, epoch: int) -> str:
         return os.path.join(self.model_dir, 'state_epoch%d' % epoch)
 
-    def save(self, state, epoch: int) -> str:
+    def save(self, state, epoch: int, protect: bool = False,
+             prune: bool = True) -> str:
         p = self.path(epoch)
         save_train_state(p, state)
+        if protect:
+            with open(os.path.join(self.model_dir,
+                                   '.protect_epoch%d' % epoch), 'w'):
+                pass
+        if prune:
+            self._prune()
         return p
+
+    def _epochs(self):
+        out = []
+        for name in os.listdir(self.model_dir):
+            m = re.match(r'state_epoch(\d+)$', name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _prune(self) -> None:
+        if self.keep <= 0:
+            return
+        import shutil
+        epochs = self._epochs()
+        protected = {e for e in epochs if os.path.exists(
+            os.path.join(self.model_dir, '.protect_epoch%d' % e))}
+        unprotected = [e for e in epochs if e not in protected]
+        for e in unprotected[:-self.keep]:
+            shutil.rmtree(self.path(e), ignore_errors=True)
 
     def latest(self) -> Optional[str]:
         if not os.path.isdir(self.model_dir):

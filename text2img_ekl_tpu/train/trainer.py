@@ -85,7 +85,8 @@ class CondGANTrainer:
                 os.makedirs(d, exist_ok=True)
             self.logger = (MetricsLogger(self.log_dir) if self.is_main
                            else _NullLogger())
-            self.ckpt = CheckpointManager(self.model_dir)
+            self.ckpt = CheckpointManager(self.model_dir,
+                                          keep=cfg.TPU_KEEP_CHECKPOINTS)
 
         self.mesh = make_mesh(cfg.TPU_DATA_PARALLEL)
         self.num_shards = self.mesh.devices.size
@@ -288,7 +289,7 @@ class CondGANTrainer:
                     self.logger.log_scalars(
                         count, {k: float(v) for k, v in metrics.items()})
                 if stop_requested['flag']:
-                    self.ckpt.save(state, epoch)
+                    self.ckpt.save(state, epoch, prune=self.is_main)
                     print('checkpointed on signal; exiting train loop')
                     for sig, h in old_handlers.items():
                         signal.signal(sig, h)
@@ -330,7 +331,7 @@ class CondGANTrainer:
                                         _host_key(2, epoch), epoch)
             interval = cfg.TRAIN.SNAPSHOT_INTERVAL
             if epoch % interval == interval - 1 or epoch > 199:
-                self.ckpt.save(state, epoch)
+                self.ckpt.save(state, epoch, prune=self.is_main)
                 if self.is_main:
                     print('Snapshot: save model ok')
 
@@ -341,7 +342,8 @@ class CondGANTrainer:
                           % (epoch, mean, std))
                 self.logger.log_scalars(count, {'inception_score': mean})
                 if mean > threshold:
-                    self.ckpt.save(state, epoch)
+                    self.ckpt.save(state, epoch, protect=True,
+                                   prune=self.is_main)
                     print('Saved good model')
             elif cfg.TRAIN.BIG_EVAL:
                 # Per-epoch eval over >=1000 fresh samples with a save gate
@@ -350,7 +352,8 @@ class CondGANTrainer:
                 if self.is_main:
                     print('Epoch%d IS: %.3f' % (epoch, mean))
                 if mean > 5.4:
-                    self.ckpt.save(state, epoch)
+                    self.ckpt.save(state, epoch, protect=True,
+                                   prune=self.is_main)
                     print('Saved good model')
 
             if max_steps is not None and total_steps >= max_steps:
