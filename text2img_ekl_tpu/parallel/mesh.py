@@ -55,6 +55,28 @@ def init_distributed() -> bool:
     return False
 
 
+def sync_processes(tag: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous all processes at a coordination-service barrier
+    (gRPC, generous timeout) — a no-op single-process.
+
+    Call this immediately before a phase's FIRST cross-process
+    collective execution: XLA:CPU creates a fresh Gloo context per
+    communicator with a fixed ~30s key-value rendezvous deadline, and
+    per-process skew accumulated in Python-side setup (process 0 builds
+    the logger/dirs; compile vs compilation-cache-load times differ)
+    can exceed it — observed as 'Gloo context initialization failed:
+    GetKeyValue() timed out' in the 2-process CLI smoke once a warm
+    T2I_JAX_CACHE removed the (symmetric) compile time that used to
+    mask the skew. On TPU the barrier is equally harmless and aligns
+    the first NCCL-free ICI/DCN launch."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed as _dist
+    client = getattr(_dist.global_state, 'client', None)
+    if client is not None:
+        client.wait_at_barrier('t2i_%s' % tag, timeout_in_ms=timeout_ms)
+
+
 def make_mesh(num_devices: int = 0,
               devices: Optional[Sequence[Any]] = None) -> Mesh:
     """A 1-D data-parallel mesh over the given (or all local) devices."""

@@ -37,6 +37,7 @@ from ..io_utils import (CheckpointManager, MetricsLogger, save_image_grid,
 from ..io_utils.images import flush_writes, save_super_images
 from ..models import build_discriminators, build_generator
 from ..parallel import make_mesh, shard_batch
+from ..parallel.mesh import sync_processes
 from .state import create_train_state
 from .step import (cond_code_width, make_caption_sample_fn, make_sample_fn,
                    make_train_step)
@@ -252,6 +253,12 @@ class CondGANTrainer:
 
         count = int(np.asarray(state.step))
         total_steps = 0
+        # Align every process right before the first step: Gloo context
+        # rendezvous at the first cross-process collective has a fixed
+        # ~30s deadline, and the per-process setup above is skewed
+        # (process 0 built the logger/dirs; compilation-cache hits vs
+        # misses differ). See parallel.mesh.sync_processes.
+        sync_processes('train_start')
         for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
             start_t = time.time()
             metrics = {}

@@ -156,6 +156,21 @@ def _drain(procs, timeout=900):
     return outs
 
 
+def _isolate_cache(env: dict, tag: str) -> dict:
+    """A compilation cache (T2I_JAX_CACHE) SHARED between concurrently
+    launched worker processes can skew their arrival at the first
+    cross-process collective — partial/asymmetric cache hits let one
+    process reach execution while its peer is still compiling, blowing
+    Gloo's fixed ~30s key-value timeout (observed once as
+    'Gloo context initialization failed: GetKeyValue() timed out').
+    Give each worker its own subdirectory: re-runs stay warm per
+    worker with zero cross-process cache interaction."""
+    if env.get('T2I_JAX_CACHE'):
+        env['T2I_JAX_CACHE'] = os.path.join(env['T2I_JAX_CACHE'],
+                                            'mh_%s' % tag)
+    return env
+
+
 def _parse_result(out: str) -> dict:
     for line in out.splitlines():
         if line.startswith('MULTIHOST_RESULT '):
@@ -171,7 +186,7 @@ def launch() -> dict:
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=dict(env), cwd=REPO)
+            env=_isolate_cache(dict(env), args[-1].lstrip('-')), cwd=REPO)
 
     workers = [spawn(['--worker', str(pid)]) for pid in range(NPROC)]
     results = [_parse_result(o) for o in _drain(workers)]
@@ -257,7 +272,7 @@ def launch_trainer(workdir: str | None = None) -> dict:
                 if not k.startswith(('JAX_', 'XLA_'))}
     procs = []
     for pid in range(NPROC):
-        env = dict(base_env)
+        env = _isolate_cache(dict(base_env), 'trainer%d' % pid)
         env['T2I_PLATFORM'] = 'cpu'
         env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
         env['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % (PORT + 1)
