@@ -30,11 +30,11 @@ if os.environ.get('T2I_TEST_TPU') != '1':
 # previously-seen compile. Opt-in: the loader logs spurious machine-feature
 # E-lines (XLA tuning pseudo-features like +prefer-no-scatter are compared
 # against host CPUID), and a default-on cache would mask compile-time
-# regressions in timing-sensitive CI.
-_cache = os.environ.get('T2I_JAX_CACHE')
-if _cache:
-    jax.config.update('jax_compilation_cache_dir', _cache)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+# regressions in timing-sensitive CI. The knob itself lives in the package
+# (single authority; platform was forced above, so this import is safe).
+from text2img_ekl_tpu import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import pytest  # noqa: E402
 

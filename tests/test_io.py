@@ -73,9 +73,15 @@ def test_checkpoint_retention_policy(tmp_path):
     r = mgr.restore(S(step=jnp.asarray(0)))
     assert int(r.step) == 4
 
-    # prune=False (non-main host processes) never deletes
-    mgr.save(S(step=jnp.asarray(5)), epoch=5, prune=False)
+    # prune=False (non-main host processes) never deletes, and never
+    # writes the protect sidecar either — on a multi-host run the orbax
+    # save is collective on every process but the manager's filesystem
+    # bookkeeping is process-0-only (N-way concurrent sidecar creates on
+    # a shared filesystem can surface transient create/lock errors)
+    mgr.save(S(step=jnp.asarray(5)), epoch=5, protect=True, prune=False)
     assert len(mgr._epochs()) == 4
+    assert not os.path.exists(
+        os.path.join(mgr.model_dir, '.protect_epoch5'))
 
     # keep=0 keeps everything
     mgr0 = CheckpointManager(str(tmp_path / 'Model0'), keep=0)
@@ -266,15 +272,18 @@ def test_zero1_checkpoint_topology_migration(tmp_path):
     assert np.isfinite(float(m4['errG']))
 
 
-def test_checkpoint_ema_cross_restore(tmp_path):
+def test_checkpoint_ema_cross_restore(tmp_path, capsys):
     """EMA flag flips across save/restore: an EMA-enabled template
     restoring an older non-EMA checkpoint seeds the average from the
     RESTORED weights (not the template's fresh init), and an EMA
     checkpoint restores into a non-EMA template KEEPING the averages —
     eval configs never set TPU_EMA_DECAY, and silently scoring live
     weights would defeat the feature (the reference's save_model bakes
-    avg_param_G into the .pth, cub_trainer_splitz_cap_ca.py:218-228)
-    (io_utils/checkpoint._restore_migrating_topology)."""
+    avg_param_G into the .pth, cub_trainer_splitz_cap_ca.py:218-228).
+    Both flips are FIRST-CLASS: the slot's presence is probed from orbax
+    metadata and the strict restore succeeds — the topology-migration
+    fallback (and its scary warning) stays reserved for genuine ZeRO-1
+    mesh-size changes (io_utils/checkpoint.restore_train_state)."""
     import jax
     from text2img_ekl_tpu.config import cfg_from_file
     from text2img_ekl_tpu.models import build_discriminators, build_generator
@@ -338,3 +347,19 @@ def test_checkpoint_ema_cross_restore(tmp_path):
     for a, p in zip(jax.tree.leaves(r3.g_params),
                     jax.tree.leaves(withema.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+
+    # every flip above took the strict metadata-probed path — the
+    # topology-migration fallback's warning never printed
+    assert 'different topology' not in capsys.readouterr().out
+
+    # ...but a TRAINING resume with averaging disabled drops the slot
+    # loudly: the step would never update it, so it would ride along
+    # frozen and eval/export (TPU_EMA_EVAL default) would silently
+    # score the stale averages instead of the trained weights
+    from text2img_ekl_tpu.train.state import resolve_restored_ema
+    dropped = resolve_restored_ema(r3, ema_decay=0.0)
+    assert dropped.g_ema_params is None
+    assert 'dropping them for this training run' in \
+        capsys.readouterr().out
+    kept = resolve_restored_ema(r3, ema_decay=0.999)
+    assert kept.g_ema_params is not None

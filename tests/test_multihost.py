@@ -60,6 +60,26 @@ def test_two_process_main_cli_smoke(tmp_path):
     assert report['ok'] and report['snapshots']
 
 
+def test_two_process_signal_stop_consensus(tmp_path):
+    """SIGTERM delivered to only ONE process (the non-main worker) must
+    checkpoint-and-stop BOTH: the signal-triggered orbax save is a
+    collective, so without the trainer's any_process_flag consensus the
+    signalled process would enter the save while its peer runs the next
+    step's pmean and the job would wedge on mismatched collectives."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(('JAX_', 'XLA_'))}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py'),
+         '--trainer-signal'],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=1500)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith('{')][-1]
+    report = json.loads(line)
+    assert report['ok'] and report['snapshots']
+
+
 def test_coordinator_address_alias_passed_through(monkeypatch):
     """jax reads only JAX_COORDINATOR_ADDRESS from the environment; the
     bare COORDINATOR_ADDRESS alias the docs advertise must be handed to

@@ -12,15 +12,27 @@ __version__ = '0.1.0'
 
 import os as _os
 
-# Opt-in persistent XLA compilation cache (works on both the CPU test
-# backend and the axon TPU backend, measured in PERF.md "Compilation
-# cache"): T2I_JAX_CACHE=<dir> makes every process reuse prior AOT
-# results — repeat bench/CLI launches skip the multi-minute fused-step
-# compile. Opt-in so default runs surface true compile times.
-if _os.environ.get('T2I_JAX_CACHE'):
-    import jax as _jax
-    _jax.config.update('jax_compilation_cache_dir',
-                       _os.environ['T2I_JAX_CACHE'])
-    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+def enable_compilation_cache(cache_dir=None) -> bool:
+    """Opt-in persistent XLA compilation cache (works on both the CPU
+    test backend and the axon TPU backend, measured in PERF.md
+    "Compilation cache"): point T2I_JAX_CACHE (or ``cache_dir``) at a
+    directory and every process reuses prior AOT results — repeat
+    bench/CLI/test launches skip the multi-minute fused-step compiles.
+    Opt-in so default runs surface true compile times. The single
+    authority for the knob: the package applies it on import and
+    tests/conftest.py calls it explicitly."""
+    cache_dir = cache_dir or _os.environ.get('T2I_JAX_CACHE')
+    if not cache_dir:
+        return False
+    import jax
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    # persist only compiles that took real work, so trivial programs
+    # don't bloat the cache directory
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    return True
+
+
+enable_compilation_cache()
 
 from .config import Config, cfg_from_file  # noqa: F401

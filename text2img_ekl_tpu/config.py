@@ -215,9 +215,12 @@ class Config:
     # the single Adam update — so (mesh n, accum k) reproduces a mesh n*k
     # run's numerics exactly (tested vs the 8-device virtual mesh). Use it
     # to (a) rehearse/debug a big-mesh run's numerics on fewer chips, or
-    # (b) run an effective batch that doesn't fit HBM — combine with
-    # TPU_REMAT_G to keep per-microbatch residuals instead of the full
-    # batch's. Batch size must be divisible by k.
+    # (b) run an effective batch that doesn't fit HBM — for (b) you MUST
+    # combine with TPU_REMAT_G: the k microbatches unroll into one XLA
+    # program whose phase-1 VJP residuals all stay live until their
+    # phase-3 use, so without remat peak activation memory equals the
+    # full-batch run (the step prints a warning), and compile time
+    # scales ~linearly with k. Batch size must be divisible by k.
     TPU_GRAD_ACCUM: int = 0
     # Capsule routing: 'dynamic' (routing-by-agreement) or 'k_means'.
     TPU_CAPSULE_ROUTING: str = 'dynamic'

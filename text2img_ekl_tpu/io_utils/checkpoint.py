@@ -26,18 +26,56 @@ def save_train_state(path: str, state) -> None:
     ckptr.wait_until_finished()
 
 
+def _ema_slot_in_checkpoint(path: str):
+    """True/False if the checkpoint's ``g_ema_params`` presence can be
+    probed from orbax metadata (cheap — no array reads), None if not."""
+    try:
+        md = ocp.StandardCheckpointer().metadata(_abspath(path))
+        tree = md.item_metadata.tree
+        if not isinstance(tree, dict) or 'g_params' not in tree:
+            return None
+        return tree.get('g_ema_params') is not None
+    except Exception:
+        return None
+
+
 def restore_train_state(path: str, target):
     """Restore into the structure of ``target`` (an abstract or concrete
     TrainState).
 
-    If the strict restore fails because the checkpoint was written under a
-    different ZeRO-1 topology (TPU_SHARDED_ADAM moment vectors are padded
-    to the device count, so their length depends on the mesh; or the flag
-    was flipped since), the checkpoint is re-read raw and the optimizer
-    moments are migrated bit-exactly (train/state.migrate_opt_state)."""
+    The generator-EMA slot is aligned FIRST-CLASS before the strict
+    restore: checkpoints written by an averaged run (TPU_EMA_DECAY>0)
+    are routinely restored under configs that never set the flag (the
+    default eval/resume ymls), and vice versa. The slot's presence is
+    probed from orbax metadata and the template adjusted so the strict
+    restore succeeds — averages restore into a slot-less template (the
+    reference's save_model bakes avg_param_G into the .pth, so an
+    averaged run's eval weights ARE the averages), and a newly-enabled
+    EMA seeds from the restored weights like copy_G_params at train
+    start (cub_trainer_splitz_cap_ca.py:83,218-228).
+
+    If the strict restore still fails because the checkpoint was written
+    under a different ZeRO-1 topology (TPU_SHARDED_ADAM moment vectors
+    are padded to the device count, so their length depends on the mesh;
+    or the flag was flipped since), the checkpoint is re-read raw and the
+    optimizer moments are migrated bit-exactly
+    (train/state.migrate_opt_state)."""
+    import jax
+
+    seed_ema_from_restored = False
+    if hasattr(target, 'g_ema_params'):
+        has_ema = _ema_slot_in_checkpoint(path)
+        if has_ema is True and target.g_ema_params is None:
+            # template for shapes/dtypes/sharding only; values come from
+            # the checkpoint
+            target = target.replace(g_ema_params=target.g_params)
+        elif has_ema is False and target.g_ema_params is not None:
+            target = target.replace(g_ema_params=None)
+            seed_ema_from_restored = True
+
     ckptr = ocp.StandardCheckpointer()
     try:
-        return ckptr.restore(_abspath(path), target=target)
+        out = ckptr.restore(_abspath(path), target=target)
     except Exception as e:  # shape/structure mismatch -> topology migration
         if not hasattr(target, 'g_opt_state'):
             raise
@@ -47,6 +85,10 @@ def restore_train_state(path: str, target):
             raise RuntimeError(
                 'checkpoint restore failed (%s) and topology migration '
                 'also failed (%s)' % (e, e2)) from e
+    if seed_ema_from_restored:
+        out = out.replace(
+            g_ema_params=jax.tree.map(jax.numpy.copy, out.g_params))
+    return out
 
 
 def _restore_migrating_topology(path: str, target):
@@ -116,9 +158,13 @@ class CheckpointManager:
     snapshots beyond the newest ``keep`` are deleted (0 = keep all, the
     reference's never-delete behavior). ``save(..., protect=True)``
     (the trainer's IS-gated "good model" saves) writes a sidecar
-    ``.protect_epoch<N>`` marker exempting that epoch forever. Pruning
-    must only run on process 0 of a multi-host job (saves are
-    collective; the trainer passes ``prune=is_main``)."""
+    ``.protect_epoch<N>`` marker exempting that epoch forever. On a
+    multi-host job the orbax save itself is collective on every
+    process, but the manager's filesystem bookkeeping — the sidecar
+    write AND pruning — must run on process 0 only (N processes
+    opening the same sidecar for write on a shared filesystem can
+    surface transient create/lock errors); the trainer passes
+    ``prune=is_main`` and both are gated on it."""
 
     def __init__(self, model_dir: str, keep: int = 0):
         self.model_dir = _abspath(model_dir)
@@ -132,7 +178,7 @@ class CheckpointManager:
              prune: bool = True) -> str:
         p = self.path(epoch)
         save_train_state(p, state)
-        if protect:
+        if protect and prune:  # fs bookkeeping: process-0-only, see class doc
             with open(os.path.join(self.model_dir,
                                    '.protect_epoch%d' % epoch), 'w'):
                 pass

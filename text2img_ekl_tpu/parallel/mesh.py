@@ -77,6 +77,23 @@ def sync_processes(tag: str, timeout_ms: int = 600_000) -> None:
         client.wait_at_barrier('t2i_%s' % tag, timeout_in_ms=timeout_ms)
 
 
+def any_process_flag(flag: bool) -> bool:
+    """max-reduce a host-side boolean over processes.
+
+    COLLECTIVE on multi-process runs — every process must call it at the
+    same program point (the trainer polls it at a fixed step cadence).
+    Used to reach stop consensus before the signal-triggered checkpoint:
+    orbax saves are collective, so one process entering a save on its
+    local SIGTERM while peers proceed into the next step's pmean wedges
+    the job on mismatched collectives."""
+    if jax.process_count() <= 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    vals = multihost_utils.process_allgather(np.asarray(flag, np.int32))
+    return bool(np.max(vals))
+
+
 def make_mesh(num_devices: int = 0,
               devices: Optional[Sequence[Any]] = None) -> Mesh:
     """A 1-D data-parallel mesh over the given (or all local) devices."""

@@ -56,6 +56,25 @@ def eval_g_variables(state: TrainState, use_ema: bool = True):
     return {'params': params, 'batch_stats': state.g_batch_stats}
 
 
+def resolve_restored_ema(state: TrainState, ema_decay: float) -> TrainState:
+    """EMA-slot policy for a TRAINING run after restore.
+
+    A restored EMA slot with averaging disabled (TPU_EMA_DECAY=0) would
+    stay FROZEN at its checkpointed values — the step only updates the
+    averages when decay > 0 — while being re-saved into every snapshot,
+    and eval/export with the default TPU_EMA_EVAL would then silently
+    prefer those stale weights over the trained model. Drop the slot
+    loudly instead; evaluate() of a finished averaged run (no further
+    training) still scores the averages via eval_g_variables."""
+    if state.g_ema_params is not None and float(ema_decay) <= 0:
+        print('!! checkpoint carries generator EMA averages but '
+              'TPU_EMA_DECAY=0: dropping them for this training run so '
+              'snapshots hold live weights (set TPU_EMA_DECAY>0 to '
+              'continue averaging)')
+        return state.replace(g_ema_params=None)
+    return state
+
+
 def zero1_shard_count(cfg, mesh) -> int:
     """Number of weight-update shards (1 = replicated Adam). Sharding is
     only active for TPU_SHARDED_ADAM on a multi-device shard_map mesh."""

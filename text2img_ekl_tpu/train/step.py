@@ -105,6 +105,18 @@ def make_train_step(cfg, G, Ds, mesh: Mesh = None):
     from .state import zero1_shard_count
     n_shards = zero1_shard_count(cfg, mesh)  # >1 => ZeRO-1 weight update
     accum = max(1, int(getattr(cfg, 'TPU_GRAD_ACCUM', 0) or 0))
+    if accum > 1 and not remat_g:
+        # The k microbatches are UNROLLED into one XLA program, and every
+        # microbatch's phase-1 VJP residuals stay live until its phase-3
+        # G-backward use — so without rematerialization peak activation
+        # memory equals the full-batch run (and compile time scales
+        # ~linearly with k). Memory-motivated accumulation must pair with
+        # remat; numerics-rehearsal use ((mesh n, accum k) == mesh n*k)
+        # is fine either way.
+        print('!! TPU_GRAD_ACCUM=%d without TPU_REMAT_G: peak activation '
+              'memory still matches the full batch (all microbatch '
+              'residuals stay live); set TPU_REMAT_G=conv|full if the '
+              'goal is fitting a bigger effective batch' % accum)
 
     def opt_update(tx, grads, opt_state, params):
         """Replicated: pmean grads, full Adam everywhere. Sharded

@@ -37,8 +37,8 @@ from ..io_utils import (CheckpointManager, MetricsLogger, save_image_grid,
 from ..io_utils.images import flush_writes, save_super_images
 from ..models import build_discriminators, build_generator
 from ..parallel import make_mesh, shard_batch
-from ..parallel.mesh import sync_processes
-from .state import create_train_state
+from ..parallel.mesh import any_process_flag, sync_processes
+from .state import create_train_state, resolve_restored_ema
 from .step import (cond_code_width, make_caption_sample_fn, make_sample_fn,
                    make_train_step)
 
@@ -46,6 +46,12 @@ from .step import (cond_code_width, make_caption_sample_fn, make_sample_fn,
 IS_THRESHOLD_COCO = 6.0
 IS_THRESHOLD_CUB_GENERAL = 5.5
 IS_THRESHOLD_CUB_FINETUNED = 3.4
+
+# Multi-host signal-stop consensus cadence: every N steps all processes
+# allgather their local stop flag (one tiny host-sync collective; at the
+# flagship's ~58 ms/step this bounds signal->checkpoint latency to well
+# under a second while keeping steps free of per-step host syncs).
+STOP_POLL_STEPS = 10
 
 
 class _NullLogger:
@@ -228,6 +234,8 @@ class CondGANTrainer:
             # scratch, which materially changes a GAN's trajectory.
             state = self._place_state(
                 self._load_pth_discriminators(cfg.TRAIN.NET_D, state))
+        state = resolve_restored_ema(
+            state, getattr(cfg, 'TPU_EMA_DECAY', 0.0))
         step_fn = make_train_step(cfg, self.G, self.Ds, self.mesh)
 
         scorer = self._make_is_scorer() if not cfg.TRAIN.BIG_EVAL else None
@@ -253,12 +261,8 @@ class CondGANTrainer:
 
         count = int(np.asarray(state.step))
         total_steps = 0
-        # Align every process right before the first step: Gloo context
-        # rendezvous at the first cross-process collective has a fixed
-        # ~30s deadline, and the per-process setup above is skewed
-        # (process 0 built the logger/dirs; compilation-cache hits vs
-        # misses differ). See parallel.mesh.sync_processes.
-        sync_processes('train_start')
+        multi = jax.process_count() > 1
+        compiled_step = None  # multi-host: AOT-compiled before the barrier
         for epoch in range(start_epoch, cfg.TRAIN.MAX_EPOCH):
             start_t = time.time()
             metrics = {}
@@ -272,7 +276,28 @@ class CondGANTrainer:
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 3:
                     jax.profiler.start_trace(
                         os.path.join(self.log_dir, 'profile'))
-                state, metrics, step_fakes = step_fn(state, batch, step_rng)
+                if multi and compiled_step is None:
+                    # Compile-THEN-barrier: jit compiles at first call, and
+                    # with a warm compilation cache on one host only, that
+                    # host would reach the step's first cross-process
+                    # collective (fresh Gloo context, fixed ~30s key-value
+                    # rendezvous deadline) minutes before its cold peer —
+                    # observed as 'Gloo context initialization failed:
+                    # GetKeyValue() timed out'. AOT-compile the step, THEN
+                    # rendezvous (gRPC barrier, generous timeout), THEN
+                    # execute; the compiled object serves every later step
+                    # (shapes are constant: loaders drop_last like the
+                    # reference, main.py:134).
+                    compiled_step = step_fn.lower(
+                        state, batch, step_rng).compile()
+                    sync_processes('train_start')
+                    # operational marker (every process): compiles done,
+                    # barrier passed, steps about to execute — the
+                    # multihost signal-stop smoke keys off this line
+                    print('train: processes aligned', flush=True)
+                state, metrics, step_fakes = (
+                    compiled_step if compiled_step is not None
+                    else step_fn)(state, batch, step_rng)
                 if cfg.TPU_PROFILE and epoch == start_epoch and step_i == 7:
                     # sync by VALUE fetch: block_until_ready is a no-op
                     # on the tunneled backend (PERF.md pitfall 2)
@@ -295,7 +320,19 @@ class CondGANTrainer:
                 if count % 100 == 0:
                     self.logger.log_scalars(
                         count, {k: float(v) for k, v in metrics.items()})
-                if stop_requested['flag']:
+                stop_now = stop_requested['flag']
+                if multi:
+                    # The save below is a COLLECTIVE orbax write: a signal
+                    # landing on a subset of processes (or between two
+                    # hosts' step boundaries) must not send one process
+                    # into the save while peers run the next step's pmean
+                    # — mismatched collectives wedge the job. Reach
+                    # consensus at a fixed poll cadence instead: every
+                    # process allgathers its local flag at the same step
+                    # and all act on max(flag) together.
+                    stop_now = (total_steps % STOP_POLL_STEPS == 0 and
+                                any_process_flag(stop_requested['flag']))
+                if stop_now:
                     self.ckpt.save(state, epoch, prune=self.is_main)
                     print('checkpointed on signal; exiting train loop')
                     for sig, h in old_handlers.items():

@@ -323,6 +323,109 @@ def launch_trainer(workdir: str | None = None) -> dict:
     return report
 
 
+def launch_trainer_signal(workdir: str | None = None) -> dict:
+    """SIGTERM-to-ONE-process stop: the wedge scenario.
+
+    A signal landing on a subset of processes must not send that process
+    into the (collective) orbax save while its peer runs the next step's
+    pmean — the trainer reaches stop consensus through
+    parallel.mesh.any_process_flag at a fixed poll cadence
+    (STOP_POLL_STEPS). Here: launch the 2-process CLI with a long step
+    budget, wait for BOTH workers' 'train: processes aligned' marker
+    (compile + barrier done, handler installed), SIGTERM only the
+    NON-main worker, and require both processes to checkpoint and exit
+    rc=0."""
+    import shutil
+    import signal as _signal
+    import tempfile
+    import threading
+    cleanup = workdir is None
+    workdir = workdir or tempfile.mkdtemp(prefix='mh_signal_')
+    cfg_path = os.path.join(workdir, 'mh_signal.yml')
+    with open(cfg_path, 'w') as f:
+        # no epoch-boundary work before the stop: the signal lands
+        # within epoch 0 (synthetic epoch is ~128 steps, the poll fires
+        # at step 10), and SNAPSHOT_INTERVAL out of range keeps the only
+        # save the signal-triggered one
+        f.write(_TRAINER_YML.replace('SNAPSHOT_INTERVAL: 1',
+                                     'SNAPSHOT_INTERVAL: 100000'))
+
+    base_env = {k: v for k, v in os.environ.items()
+                if not k.startswith(('JAX_', 'XLA_'))}
+    procs, watchers, aligned = [], [], []
+    for pid in range(NPROC):
+        env = _isolate_cache(dict(base_env), 'trainer%d' % pid)
+        env['T2I_PLATFORM'] = 'cpu'
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+        env['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % (PORT + 2)
+        env['JAX_NUM_PROCESSES'] = str(NPROC)
+        env['JAX_PROCESS_ID'] = str(pid)
+        p = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, 'main.py'),
+             # backstop: if the signal machinery fails the run still
+             # ends (and the asserts below then fail with the output)
+             '--cfg', cfg_path, '--synthetic', '--max_steps', '2000',
+             '--manualSeed', '7'],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=workdir)
+        ev = threading.Event()
+        lines: list = []
+
+        def read(p=p, ev=ev, lines=lines):
+            for ln in p.stdout:
+                lines.append(ln)
+                if 'train: processes aligned' in ln:
+                    ev.set()
+            ev.set()  # EOF: never leave the waiter hanging
+
+        t = threading.Thread(target=read, daemon=True)
+        t.start()
+        procs.append(p)
+        watchers.append((t, lines))
+        aligned.append(ev)
+
+    outs = []
+    try:
+        for ev in aligned:
+            assert ev.wait(timeout=1200), 'worker never aligned'
+        assert all(p.poll() is None for p in procs), 'worker died early'
+        procs[1].send_signal(_signal.SIGTERM)  # NON-main process only
+        for p, (t, lines) in zip(procs, watchers):
+            p.wait(timeout=600)
+            t.join(timeout=60)
+            outs.append(''.join(lines))
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, 'rc=%s\n%s' % (p.returncode,
+                                                     out[-4000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+
+    # BOTH processes reached consensus and took the collective save
+    for i, out in enumerate(outs):
+        assert 'checkpointed on signal; exiting train loop' in out, (
+            'worker %d:\n%s' % (i, out[-4000:]))
+    # only the signalled worker logged the handler
+    assert 'checkpointing at next step boundary' in outs[1]
+    assert 'checkpointing at next step boundary' not in outs[0]
+    # the signal-triggered snapshot is on disk and complete
+    runs = os.listdir(os.path.join(workdir, 'output'))
+    assert len(runs) == 1, runs
+    model_dir = os.path.join(workdir, 'output', runs[0], 'Model')
+    snaps = [d for d in os.listdir(model_dir)
+             if d.startswith('state_epoch')]
+    assert snaps, os.listdir(model_dir)
+
+    report = {'ok': True, 'snapshots': snaps,
+              'topology': 'SIGTERM to process 1 of 2, consensus stop'}
+    if cleanup:
+        shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps(report))
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--worker', type=int, default=None)
@@ -330,6 +433,9 @@ def main():
     ap.add_argument('--trainer', action='store_true',
                     help='2-process main.py CLI smoke instead of the '
                          'step-level cross-check')
+    ap.add_argument('--trainer-signal', action='store_true',
+                    help='2-process CLI + SIGTERM to one process: '
+                         'consensus checkpoint-and-stop')
     args = ap.parse_args()
     if args.worker is not None:
         worker(args.worker)
@@ -337,6 +443,8 @@ def main():
         single()
     elif args.trainer:
         launch_trainer()
+    elif args.trainer_signal:
+        launch_trainer_signal()
     else:
         launch()
 
