@@ -363,3 +363,60 @@ def test_checkpoint_ema_cross_restore(tmp_path, capsys):
         capsys.readouterr().out
     kept = resolve_restored_ema(r3, ema_decay=0.999)
     assert kept.g_ema_params is not None
+
+
+def test_restore_generator_state_ignores_d_mismatch(tmp_path):
+    """evaluate()'s restore path must work when the eval config doesn't
+    describe the training run's discriminator tree: the reference's eval
+    loads ONLY netG (cub_trainer_splitz_cap_ca.py:784-800) and its eval
+    ymls never set D-side options (e.g. TRAIN.D_CAPSULE, set by the train
+    yml only) — a strict full-state restore rejects exactly those
+    checkpoints. restore_generator_state refits the G side (params, BN
+    stats, EMA slot, step) and leaves the template's Ds untouched."""
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.io_utils.checkpoint import (
+        restore_generator_state, restore_train_state)
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.train import create_train_state
+    from text2img_ekl_tpu.train.step import cond_code_width
+
+    def make(d_capsule, ema_decay=0.0):
+        cfg = cfg_from_file(
+            '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+        cfg.GAN.GF_DIM = 8
+        cfg.GAN.DF_DIM = 8
+        cfg.TRAIN.D_CAPSULE = d_capsule
+        cfg.TPU_COMPUTE_DTYPE = 'float32'
+        cfg.TPU_CAPSULE_PALLAS = False
+        cfg.TPU_EMA_DECAY = ema_decay
+        G = build_generator(cfg)
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        return create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
+                                  cond_code_width(cfg))
+
+    trained = make(d_capsule=True, ema_decay=0.999)
+    trained = trained.replace(
+        g_params=jax.tree.map(lambda p: p * 2.0 + 1.0, trained.g_params),
+        g_ema_params=jax.tree.map(lambda p: p + 0.25, trained.g_params),
+        step=jnp.asarray(11, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / 'Model'))
+    path = mgr.save(trained, epoch=3)
+
+    # eval-config template: no D_CAPSULE -> different d_params tree
+    template = make(d_capsule=False)
+    assert (jax.tree.structure(template.d_params) !=
+            jax.tree.structure(trained.d_params))
+    with pytest.raises(Exception):
+        restore_train_state(path, template)  # strict restore: mismatch
+
+    r = restore_generator_state(path, template)
+    assert int(r.step) == 11
+    for a, b in zip(jax.tree.leaves(r.g_params),
+                    jax.tree.leaves(trained.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(r.g_ema_params),
+                    jax.tree.leaves(trained.g_ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Ds keep the template's own (fresh) tree — eval never touches them
+    assert (jax.tree.structure(r.d_params) ==
+            jax.tree.structure(template.d_params))

@@ -107,3 +107,16 @@ def test_coordinator_address_alias_passed_through(monkeypatch):
     monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'host0:1234')
     assert init_distributed()
     assert calls['addr'] is None
+
+
+def test_eval_sample_target_splits_across_processes():
+    """The offline protocol's counter is process-local while the test
+    loader strides items across processes: the per-process budget must be
+    ceil(SAMPLE_NUM / P) so P hosts land the global PNG count on
+    TEST.SAMPLE_NUM (a local target of SAMPLE_NUM would emit P x 30k)."""
+    from text2img_ekl_tpu.train.trainer import _local_sample_target
+
+    assert _local_sample_target(30000, 1) == 30000
+    assert _local_sample_target(30000, 4) == 7500
+    assert _local_sample_target(30001, 4) == 7501  # ceil, never under
+    assert _local_sample_target(50, 0) == 50      # defensive clamp

@@ -91,19 +91,52 @@ def restore_train_state(path: str, target):
     return out
 
 
+def _refit(raw_sub, tgt_sub):
+    """Same logical structure, possibly list-vs-tuple / dict-vs-class
+    containers after a raw restore: refit leaves onto the target's
+    treedef."""
+    import jax
+
+    return jax.tree.unflatten(jax.tree.structure(tgt_sub),
+                               jax.tree.leaves(raw_sub))
+
+
+def restore_generator_state(path: str, target):
+    """Generator-side restore for evaluate(): g_params, g_batch_stats and
+    the EMA slot from the checkpoint; discriminators and optimizer states
+    keep the target's fresh init.
+
+    The reference's eval path loads ONLY netG (.pth,
+    cub_trainer_splitz_cap_ca.py:784-800) — its eval configs never
+    specify the D-side architecture (D_CAPSULE, CAT_Z widths...), so an
+    eval-config TrainState template routinely has a different
+    discriminator tree than the training checkpoint. A strict full-state
+    restore would reject exactly the checkpoints the eval workflow
+    exists for; refit just the G side instead (raw restore, leaves
+    reattached to the template's treedef — a G architecture mismatch
+    still fails with a leaf-count error)."""
+    import jax
+
+    raw = ocp.StandardCheckpointer().restore(_abspath(path))
+    out = target.replace(
+        step=jax.numpy.asarray(raw['step']),
+        g_params=_refit(raw['g_params'], target.g_params),
+        g_batch_stats=_refit(raw['g_batch_stats'], target.g_batch_stats))
+    if raw.get('g_ema_params') is not None:
+        # an averaged run's eval weights ARE the averages (the reference
+        # bakes avg_param_G into the .pth, see restore_train_state)
+        out = out.replace(
+            g_ema_params=_refit(raw['g_ema_params'], target.g_params))
+    return out
+
+
 def _restore_migrating_topology(path: str, target):
     import jax
 
     from ..train.state import migrate_opt_state
 
     raw = ocp.StandardCheckpointer().restore(_abspath(path))
-
-    def refit(raw_sub, tgt_sub):
-        """Same logical structure, possibly list-vs-tuple / dict-vs-class
-        containers after a raw restore: refit leaves onto the target's
-        treedef."""
-        return jax.tree.unflatten(jax.tree.structure(tgt_sub),
-                                  jax.tree.leaves(raw_sub))
+    refit = _refit
 
     g_params = refit(raw['g_params'], target.g_params)
     d_params = tuple(refit(r, t) for r, t in zip(raw['d_params'],

@@ -54,6 +54,15 @@ IS_THRESHOLD_CUB_FINETUNED = 3.4
 STOP_POLL_STEPS = 10
 
 
+def _local_sample_target(sample_num: int, n_processes: int) -> int:
+    """Per-process sample budget for the offline 30k eval protocol
+    (TEST.SAMPLE_NUM, miscc/config.py:32). ``evaluate``'s counter is
+    process-local and the test loader strides items across processes, so
+    the global target splits evenly: P hosts x ceil(SAMPLE_NUM/P) lands
+    the total PNG count on SAMPLE_NUM (single process: exact)."""
+    return -(-int(sample_num) // max(1, int(n_processes)))
+
+
 class _NullLogger:
     """Metrics sink for non-main processes in multi-host runs."""
 
@@ -562,9 +571,12 @@ class CondGANTrainer:
                 state = self._place_state(self._load_pth_generator(
                     cfg.TRAIN.NET_G, abstract))
             else:
-                from ..io_utils.checkpoint import restore_train_state
+                # G-side-only restore: eval configs don't (and per the
+                # reference, needn't) describe the discriminator tree the
+                # checkpoint was trained with
+                from ..io_utils.checkpoint import restore_generator_state
                 state = self._place_state(
-                    restore_train_state(cfg.TRAIN.NET_G, abstract))
+                    restore_generator_state(cfg.TRAIN.NET_G, abstract))
         from .state import eval_g_variables
         g_vars = eval_g_variables(state, use_ema=cfg.TPU_EMA_EVAL)
         sampler = make_sample_fn(cfg, self.G, self.mesh,
@@ -588,7 +600,9 @@ class CondGANTrainer:
         kseq = itertools.count()
         cls_share = cfg.TEST.CLS_PRIOR and cfg.TEST.CLS_SHARE
         single_pass = cfg.TEST.B_EXAMPLE or max_batches is not None
-        target = None if single_pass else int(cfg.TEST.SAMPLE_NUM)
+        target = (None if single_pass else
+                  _local_sample_target(cfg.TEST.SAMPLE_NUM,
+                                       jax.process_count()))
 
         # The offline protocol samples every caption with one vmapped
         # call per data batch (make_caption_sample_fn: per-caption BN

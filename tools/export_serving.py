@@ -71,9 +71,12 @@ def main():
             args.net_g, {'params': state.g_params,
                          'batch_stats': state.g_batch_stats})
     else:
-        from text2img_ekl_tpu.io_utils.checkpoint import restore_train_state
+        # G-side-only: export configs (like eval configs) need not match
+        # the training checkpoint's discriminator/optimizer trees
+        from text2img_ekl_tpu.io_utils.checkpoint import (
+            restore_generator_state)
         from text2img_ekl_tpu.train.state import eval_g_variables
-        st = restore_train_state(args.net_g, state)
+        st = restore_generator_state(args.net_g, state)
         gvars = eval_g_variables(st, use_ema=cfg.TPU_EMA_EVAL)
 
     exported = make_serving_exported(cfg, G, gvars, args.bs,
