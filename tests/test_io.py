@@ -420,3 +420,51 @@ def test_restore_generator_state_ignores_d_mismatch(tmp_path):
     # Ds keep the template's own (fresh) tree — eval never touches them
     assert (jax.tree.structure(r.d_params) ==
             jax.tree.structure(template.d_params))
+
+
+def test_restore_generator_state_seeds_missing_ema_from_restored(tmp_path):
+    """A checkpoint written WITHOUT averaging, restored under an eval
+    config that enables TPU_EMA_DECAY: the template's EMA slot holds
+    create_train_state's fresh random init, and with the default
+    TPU_EMA_EVAL=True evaluate()/export would silently score random
+    weights. restore_generator_state must seed the slot from the
+    RESTORED live weights instead (mirroring restore_train_state)."""
+    from text2img_ekl_tpu.config import cfg_from_file
+    from text2img_ekl_tpu.io_utils.checkpoint import restore_generator_state
+    from text2img_ekl_tpu.models import build_discriminators, build_generator
+    from text2img_ekl_tpu.train import create_train_state
+    from text2img_ekl_tpu.train.step import cond_code_width
+
+    def make(ema_decay, seed=0, gf=8):
+        cfg = cfg_from_file(
+            '/root/reference/cfg/birds_2stg_splitz_cap_ca.realcls.yml')
+        cfg.GAN.GF_DIM = gf
+        cfg.GAN.DF_DIM = 8
+        cfg.TPU_COMPUTE_DTYPE = 'float32'
+        cfg.TPU_CAPSULE_PALLAS = False
+        cfg.TPU_EMA_DECAY = ema_decay
+        G = build_generator(cfg)
+        Ds = build_discriminators(cfg, cond_code_width(cfg))
+        return create_train_state(cfg, G, Ds, jax.random.PRNGKey(seed),
+                                  cond_code_width(cfg))
+
+    trained = make(ema_decay=0.0)  # no EMA slot in the checkpoint
+    trained = trained.replace(
+        g_params=jax.tree.map(lambda p: p * 3.0 - 1.0, trained.g_params))
+    mgr = CheckpointManager(str(tmp_path / 'Model'))
+    path = mgr.save(trained, epoch=1)
+
+    template = make(ema_decay=0.999, seed=123)  # fresh-random EMA slot
+    assert template.g_ema_params is not None
+    r = restore_generator_state(path, template)
+    assert r.g_ema_params is not None
+    for a, b in zip(jax.tree.leaves(r.g_ema_params),
+                    jax.tree.leaves(trained.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a G ARCHITECTURE mismatch with identical leaf count (GF_DIM flip
+    # changes widths, not the tree) must fail loudly at restore time
+    # with a shape diagnostic, not permute/mis-shape silently
+    wrong = make(ema_decay=0.0, gf=16)
+    with pytest.raises(ValueError, match='different architecture'):
+        restore_generator_state(path, wrong)

@@ -13,6 +13,7 @@ import os
 import re
 from typing import Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -91,20 +92,77 @@ def restore_train_state(path: str, target):
     return out
 
 
-def _refit(raw_sub, tgt_sub):
+def _refit(raw_sub, tgt_sub, what: str = 'subtree'):
     """Same logical structure, possibly list-vs-tuple / dict-vs-class
     containers after a raw restore: refit leaves onto the target's
-    treedef."""
+    treedef. Leaf SHAPES are validated against the target — unflatten
+    alone checks only leaf count, so a different G architecture that
+    happens to have the same number of tensors would otherwise restore
+    silently mis-shaped/permuted params that fail obscurely (or not at
+    all) at apply time. Dtypes are cast to the target's (a checkpoint
+    written under a different TPU_BN_DTYPE is a legitimate precision
+    flip, not a mismatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    raw_leaves = jax.tree.leaves(raw_sub)
+    tgt_leaves = jax.tree.leaves(tgt_sub)
+    if len(raw_leaves) != len(tgt_leaves):
+        raise ValueError(
+            'checkpoint %s has %d tensors but this config expects %d — '
+            'the checkpoint was written under a different architecture'
+            % (what, len(raw_leaves), len(tgt_leaves)))
+    fitted = []
+    for i, (r, t) in enumerate(zip(raw_leaves, tgt_leaves)):
+        if tuple(np.shape(r)) != tuple(np.shape(t)):
+            raise ValueError(
+                'checkpoint %s leaf %d has shape %s but this config '
+                'expects %s — the checkpoint was written under a '
+                'different architecture'
+                % (what, i, tuple(np.shape(r)), tuple(np.shape(t))))
+        dt = getattr(t, 'dtype', None)
+        if dt is not None and getattr(r, 'dtype', None) != dt:
+            r = jnp.asarray(r, dt)
+        fitted.append(r)
+    return jax.tree.unflatten(jax.tree.structure(tgt_sub), fitted)
+
+
+def _raw_generator_subtrees(path: str):
+    """Raw G-side subtrees of a full-TrainState checkpoint, reading ONLY
+    what evaluate()/export need: step, g_params, g_batch_stats and (when
+    present) g_ema_params. An orbax partial restore keyed off the
+    checkpoint's own metadata skips the discriminator params and every
+    Adam moment vector — the bulk of the state on disk. Falls back to a
+    full raw StandardCheckpointer read if the partial path is
+    unavailable."""
     import jax
 
-    return jax.tree.unflatten(jax.tree.structure(tgt_sub),
-                               jax.tree.leaves(raw_sub))
+    p = _abspath(path)
+    try:
+        ctr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        md = ctr.metadata(p).item_metadata
+        keys = ['step', 'g_params', 'g_batch_stats']
+        try:
+            if md['g_ema_params'] is not None:
+                keys.append('g_ema_params')
+        except (KeyError, TypeError):
+            pass
+        item = {k: jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), md[k])
+            for k in keys}
+        raw = ctr.restore(p, args=ocp.args.PyTreeRestore(
+            item=item, partial_restore=True))
+        raw.setdefault('g_ema_params', None)
+        return raw
+    except Exception:
+        return ocp.StandardCheckpointer().restore(p)
 
 
 def restore_generator_state(path: str, target):
     """Generator-side restore for evaluate(): g_params, g_batch_stats and
     the EMA slot from the checkpoint; discriminators and optimizer states
-    keep the target's fresh init.
+    keep the target's fresh init (and are never read from disk — see
+    _raw_generator_subtrees).
 
     The reference's eval path loads ONLY netG (.pth,
     cub_trainer_splitz_cap_ca.py:784-800) — its eval configs never
@@ -112,21 +170,31 @@ def restore_generator_state(path: str, target):
     eval-config TrainState template routinely has a different
     discriminator tree than the training checkpoint. A strict full-state
     restore would reject exactly the checkpoints the eval workflow
-    exists for; refit just the G side instead (raw restore, leaves
-    reattached to the template's treedef — a G architecture mismatch
-    still fails with a leaf-count error)."""
+    exists for; refit just the G side instead (leaves reattached to the
+    template's treedef, with per-leaf shape validation)."""
     import jax
 
-    raw = ocp.StandardCheckpointer().restore(_abspath(path))
+    raw = _raw_generator_subtrees(path)
     out = target.replace(
         step=jax.numpy.asarray(raw['step']),
-        g_params=_refit(raw['g_params'], target.g_params),
-        g_batch_stats=_refit(raw['g_batch_stats'], target.g_batch_stats))
+        g_params=_refit(raw['g_params'], target.g_params, 'g_params'),
+        g_batch_stats=_refit(raw['g_batch_stats'], target.g_batch_stats,
+                             'g_batch_stats'))
     if raw.get('g_ema_params') is not None:
         # an averaged run's eval weights ARE the averages (the reference
         # bakes avg_param_G into the .pth, see restore_train_state)
         out = out.replace(
-            g_ema_params=_refit(raw['g_ema_params'], target.g_params))
+            g_ema_params=_refit(raw['g_ema_params'], target.g_params,
+                                'g_ema_params'))
+    elif target.g_ema_params is not None:
+        # EMA enabled by the eval config but absent from the checkpoint:
+        # the template slot holds create_train_state's fresh random init —
+        # with the default TPU_EMA_EVAL=True, leaving it in place would
+        # silently evaluate/export random weights. Seed the slot from the
+        # RESTORED live weights (mirrors restore_train_state /
+        # _restore_migrating_topology).
+        out = out.replace(
+            g_ema_params=jax.tree.map(jax.numpy.copy, out.g_params))
     return out
 
 
