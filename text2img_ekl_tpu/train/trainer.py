@@ -395,9 +395,19 @@ class CondGANTrainer:
                           % (epoch, mean, std))
                 self.logger.log_scalars(count, {'inception_score': mean})
                 if mean > threshold:
-                    self.ckpt.save(state, epoch, protect=True,
-                                   prune=self.is_main)
-                    print('Saved good model')
+                    if getattr(scorer, 'real_weights', False):
+                        self.ckpt.save(state, epoch, protect=True,
+                                       prune=self.is_main)
+                        print('Saved good model')
+                    elif self.is_main:
+                        # an IS of 3.4+ from a RANDOM-weight tower is
+                        # noise: the reference's absolute thresholds
+                        # (cub_trainer_splitz_cap_ca.py:670-696) apply
+                        # only with its trained tower loaded
+                        # (T2I_INCEPTION_CKPT)
+                        print('IS %.3f above threshold but inception '
+                              'weights are random — skipping good-model '
+                              'save (set T2I_INCEPTION_CKPT)' % mean)
             elif cfg.TRAIN.BIG_EVAL:
                 # Per-epoch eval over >=1000 fresh samples with a save gate
                 # at 5.4 (cub_trainer_splitz_cap_ca.py:698-730).
@@ -405,9 +415,14 @@ class CondGANTrainer:
                 if self.is_main:
                     print('Epoch%d IS: %.3f' % (epoch, mean))
                 if mean > 5.4:
-                    self.ckpt.save(state, epoch, protect=True,
-                                   prune=self.is_main)
-                    print('Saved good model')
+                    if getattr(self._big_scorer, 'real_weights', False):
+                        self.ckpt.save(state, epoch, protect=True,
+                                       prune=self.is_main)
+                        print('Saved good model')
+                    elif self.is_main:
+                        print('IS %.3f above threshold but inception '
+                              'weights are random — skipping good-model '
+                              'save (set T2I_INCEPTION_CKPT)' % mean)
 
             if max_steps is not None and total_steps >= max_steps:
                 break
@@ -426,7 +441,8 @@ class CondGANTrainer:
         num_classes = 1000 if general else 51
         flavor = 'torch' if general else 'slim'
         ckpt = os.environ.get('T2I_INCEPTION_CKPT', '')
-        if ckpt and os.path.exists(ckpt):
+        real_weights = bool(ckpt and os.path.exists(ckpt))
+        if real_weights:
             from ..eval.convert_tf import (load_slim_checkpoint,
                                            slim_vars_to_flax)
             variables = random_inception_variables(
@@ -440,9 +456,16 @@ class CondGANTrainer:
                   'in-training IS is a relative signal only')
         # bf16 tower for the in-training gate (relative signal; ~26%
         # faster); offline eval scoring uses f32.
-        return InceptionScorer(variables, num_classes,
-                               finetuned=not general, flavor=flavor,
-                               dtype=jnp.bfloat16)
+        scorer = InceptionScorer(variables, num_classes,
+                                 finetuned=not general, flavor=flavor,
+                                 dtype=jnp.bfloat16)
+        # The absolute save thresholds (the reference's 3.4/5.5/6.0,
+        # cub_trainer_splitz_cap_ca.py:670-696) only mean anything when
+        # the tower carries the reference's trained weights — an IS of
+        # 3.4 from a random-weight tower is noise, so the protect-save
+        # gate checks this flag.
+        scorer.real_weights = real_weights
+        return scorer
 
     def _sample_like(self, state, batch, rng):
         """All-stage fake images with current params (epoch image grids and
@@ -770,8 +793,15 @@ class CondGANTrainer:
         _drain(0)
         write_errors = flush_writes()  # join the async native PNG writer
         if write_errors:
+            # the printed count is the number an operator reads off the
+            # log — report images actually ON DISK, not attempts (each
+            # sampled image maps 1:1 to one PNG write)
             print('!! %d image writes failed' % write_errors)
-        print('Save images ok; Number of images: %d' % count)
+            print('Save images DONE WITH ERRORS; Number of images '
+                  'written: %d (of %d sampled)'
+                  % (count - write_errors, count))
+        else:
+            print('Save images ok; Number of images: %d' % count)
         return save_dir
 
     def _eval_save_dir(self, mode: str) -> str:
