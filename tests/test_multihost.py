@@ -31,12 +31,16 @@ def test_two_process_step_matches_single_process(tmp_path):
     env['T2I_MULTIHOST_PORT'] = '12973'  # keep clear of manual runs
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py')],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=1500)
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=2700)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     report = json.loads(out.read_text())
     assert report['ok']
-    for k in ('errG', 'errD'):
-        assert report['checks'][k]['rel'] <= 1e-4
+    # one leg per SPMD lowering: shard_map, gspmd (sharding-annotated
+    # jit), and ZeRO-1 (TPU_SHARDED_ADAM over the global mesh)
+    assert set(report['legs']) == {'shard_map', 'gspmd', 'zero1'}
+    for leg in report['legs'].values():
+        for k in ('errG', 'errD'):
+            assert leg['checks'][k]['rel'] <= 1e-4, (leg['mode'], k)
 
 
 def test_two_process_main_cli_smoke(tmp_path):

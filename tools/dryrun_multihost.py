@@ -40,7 +40,17 @@ NPROC = 2
 DEV_PER_PROC = 4
 
 
-def _tiny_cfg():
+# Step-level legs: every SPMD lowering the framework ships must produce
+# identical losses whether the 8 replicas live in one process or two.
+#   shard_map — the default collective-explicit lowering
+#   gspmd     — sharding-annotated jit (XLA inserts the collectives)
+#   zero1     — shard_map + TPU_SHARDED_ADAM (optimizer moments sharded
+#               over the global mesh, the cross-process reduce_scatter/
+#               all_gather pair riding DCN on a real pod)
+MODES = ('shard_map', 'gspmd', 'zero1')
+
+
+def _tiny_cfg(mode: str = 'shard_map'):
     from text2img_ekl_tpu.config import cfg_from_file
     cfg = cfg_from_file(os.path.join(
         REPO, 'cfg', 'birds_2stg_splitz_cap_ca.realcls.yml'))
@@ -52,12 +62,12 @@ def _tiny_cfg():
     cfg.TPU_CAPSULE_PALLAS = False
     cfg.TPU_COMPUTE_DTYPE = 'float32'
     cfg.TPU_BN_DTYPE = 'float32'
-    cfg.TPU_SPMD_MODE = 'shard_map'
-    cfg.TPU_SHARDED_ADAM = False
+    cfg.TPU_SPMD_MODE = 'gspmd' if mode == 'gspmd' else 'shard_map'
+    cfg.TPU_SHARDED_ADAM = mode == 'zero1'
     return cfg
 
 
-def _run_step(jax):
+def _run_step(jax, mode: str = 'shard_map'):
     """Build state/batch deterministically and run ONE fused step over
     ALL visible devices (global mesh). Returns {metric: float}."""
     import jax.numpy as jnp
@@ -70,7 +80,7 @@ def _run_step(jax):
     from text2img_ekl_tpu.train.step import (cond_code_width,
                                              make_synthetic_batch)
 
-    cfg = _tiny_cfg()
+    cfg = _tiny_cfg(mode)
     mesh = make_mesh()
     n_dev = mesh.devices.size
     G = build_generator(cfg)
@@ -100,13 +110,13 @@ def _run_step(jax):
     return out
 
 
-def worker(pid: int) -> None:
+def worker(pid: int, mode: str, port: int) -> None:
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
         + ' --xla_force_host_platform_device_count=%d' % DEV_PER_PROC
     ).strip()
     # the plain-launcher contract init_distributed() documents:
-    os.environ['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % PORT
+    os.environ['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % port
     os.environ['JAX_NUM_PROCESSES'] = str(NPROC)
     os.environ['JAX_PROCESS_ID'] = str(pid)
     sys.path.insert(0, REPO)
@@ -116,12 +126,12 @@ def worker(pid: int) -> None:
     assert init_distributed(), 'coordinator env vars not picked up'
     assert jax.process_count() == NPROC and jax.process_index() == pid
     assert len(jax.devices()) == NPROC * DEV_PER_PROC
-    metrics = _run_step(jax)
+    metrics = _run_step(jax, mode)
     print('MULTIHOST_RESULT %s' % json.dumps(
         {'process': pid, 'metrics': metrics}), flush=True)
 
 
-def single() -> None:
+def single(mode: str) -> None:
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
         + ' --xla_force_host_platform_device_count=%d'
@@ -129,7 +139,7 @@ def single() -> None:
     sys.path.insert(0, REPO)
     import jax
     jax.config.update('jax_platforms', 'cpu')
-    metrics = _run_step(jax)
+    metrics = _run_step(jax, mode)
     print('MULTIHOST_RESULT %s' % json.dumps(
         {'process': 'single', 'metrics': metrics}), flush=True)
 
@@ -178,19 +188,23 @@ def _parse_result(out: str) -> dict:
     raise RuntimeError('no result line:\n%s' % out)
 
 
-def launch() -> dict:
+def launch_leg(mode: str, port: int) -> dict:
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(('JAX_', 'XLA_'))}
 
-    def spawn(args):
+    def spawn(args, tag):
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=_isolate_cache(dict(env), args[-1].lstrip('-')), cwd=REPO)
+            env=_isolate_cache(dict(env), '%s_%s' % (mode, tag)),
+            cwd=REPO)
 
-    workers = [spawn(['--worker', str(pid)]) for pid in range(NPROC)]
+    workers = [spawn(['--worker', str(pid), '--mode', mode,
+                      '--port', str(port)], str(pid))
+               for pid in range(NPROC)]
     results = [_parse_result(o) for o in _drain(workers)]
-    sp = _parse_result(_drain([spawn(['--single'])])[0])
+    sp = _parse_result(
+        _drain([spawn(['--single', '--mode', mode], 'single')])[0])
 
     m0, m1, ms = (results[0]['metrics'], results[1]['metrics'],
                   sp['metrics'])
@@ -204,13 +218,33 @@ def launch() -> dict:
         assert rel <= 1e-4, (k, m0[k], ms[k], rel)
         checks[k] = {'multi': m0[k], 'single': ms[k], 'rel': rel}
 
-    report = {
+    return {
         'ok': True,
+        'mode': mode,
         'topology': '%d processes x %d cpu devices vs 1 x %d'
                     % (NPROC, DEV_PER_PROC, NPROC * DEV_PER_PROC),
         'checks': checks,
         'multi_metrics': m0,
         'single_metrics': ms,
+    }
+
+
+def launch() -> dict:
+    """All step-level legs -> MULTIHOST.json. Distinct coordinator ports
+    per leg: a just-released port can linger in TIME_WAIT."""
+    legs = {}
+    for i, mode in enumerate(MODES):
+        legs[mode] = launch_leg(mode, PORT + 10 * i)
+        print('leg %s ok (errG rel %.2e)' % (
+            mode, legs[mode]['checks']['errG']['rel']), flush=True)
+    report = {
+        'ok': all(leg['ok'] for leg in legs.values()),
+        'topology': legs[MODES[0]]['topology'],
+        'legs': legs,
+        # back-compat top-level fields = the default shard_map leg
+        'checks': legs['shard_map']['checks'],
+        'multi_metrics': legs['shard_map']['multi_metrics'],
+        'single_metrics': legs['shard_map']['single_metrics'],
     }
     out_path = os.environ.get('T2I_MULTIHOST_OUT',
                               os.path.join(REPO, 'MULTIHOST.json'))
@@ -430,6 +464,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--worker', type=int, default=None)
     ap.add_argument('--single', action='store_true')
+    ap.add_argument('--mode', choices=MODES, default='shard_map')
+    ap.add_argument('--port', type=int, default=PORT)
     ap.add_argument('--trainer', action='store_true',
                     help='2-process main.py CLI smoke instead of the '
                          'step-level cross-check')
@@ -438,9 +474,9 @@ def main():
                          'consensus checkpoint-and-stop')
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker)
+        worker(args.worker, args.mode, args.port)
     elif args.single:
-        single()
+        single(args.mode)
     elif args.trainer:
         launch_trainer()
     elif args.trainer_signal:

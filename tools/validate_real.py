@@ -72,11 +72,54 @@ def parse_args(argv=None):
                     help='eval samples (reference protocol: 30000)')
     ap.add_argument('--splits', type=int, default=10)
     ap.add_argument('--synthetic', action='store_true')
+    ap.add_argument('--fetch', action='store_true',
+                    help='opportunistically download the frozen 2015 '
+                         'inception graph (the reference fid.py:190-206 '
+                         'URL) into --out_dir when --fid_pb is absent; '
+                         'degrades gracefully offline (this build env '
+                         'has zero egress — see DEPLOY.md "Real-weight '
+                         'validation gate")')
     ap.add_argument('--out', default='', help='write the report JSON here')
     ap.add_argument('--out_dir', default=os.path.join(
         _ROOT, 'output', 'validate_real'),
         help='working dir for checkpoints/samples')
     return ap.parse_args(argv)
+
+
+def try_fetch_frozen_pb(out_dir: str) -> str:
+    """Best-effort download of the reference's frozen 2015 inception
+    graph (fid.py:193 / inception_score_general.py:19). Returns the
+    extracted .pb path, or '' when offline/failed. The sha256 of both
+    the tgz and the pb are printed so a deploy can pin them (DEPLOY.md
+    "Real-weight validation gate" is the offline procedure)."""
+    import hashlib
+    import tarfile
+    import urllib.request
+
+    from text2img_ekl_tpu.eval.convert_tf import (FROZEN_PB_NAME,
+                                                  FROZEN_PB_URL)
+    pb_path = os.path.join(out_dir, FROZEN_PB_NAME)
+    if os.path.exists(pb_path):
+        return pb_path
+    tgz = os.path.join(out_dir, os.path.basename(FROZEN_PB_URL))
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        print('fetch: %s ...' % FROZEN_PB_URL, flush=True)
+        urllib.request.urlretrieve(FROZEN_PB_URL, tgz)
+        with open(tgz, 'rb') as f:
+            print('fetch: tgz sha256 %s'
+                  % hashlib.sha256(f.read()).hexdigest())
+        with tarfile.open(tgz, 'r:gz') as f:
+            f.extract(FROZEN_PB_NAME, out_dir)
+        with open(pb_path, 'rb') as f:
+            print('fetch: pb sha256 %s'
+                  % hashlib.sha256(f.read()).hexdigest())
+        return pb_path
+    except Exception as e:
+        print('fetch: FAILED (%s: %s) — offline? The exact manual '
+              'procedure is DEPLOY.md "Real-weight validation gate".'
+              % (type(e).__name__, e))
+        return ''
 
 
 def _compare(name, measured, expected, rows, lower_is_better=False):
@@ -104,6 +147,11 @@ def main(argv=None) -> int:
     if args.synthetic:
         cfg.TPU_SYNTHETIC_DATA = True
     report = {'weights': {}, 'stages': {}}
+
+    if args.fetch and not args.fid_pb:
+        args.fid_pb = try_fetch_frozen_pb(args.out_dir)
+        report['weights']['fid_pb_fetch'] = ('ok' if args.fid_pb
+                                             else 'offline/failed')
 
     # ---- stage 1: train smoke ---------------------------------------
     from text2img_ekl_tpu.train.trainer import CondGANTrainer
