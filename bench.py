@@ -35,6 +35,34 @@ if os.environ.get('BENCH_COLD') != '1':
 BASELINE_IMAGES_PER_SEC = 37.0
 
 
+def _watchdog():
+    """Run the bench in a child process with a per-attempt timeout and ONE
+    retry. Observed on the tunneled axon backend (round 4): a run can
+    wedge indefinitely waiting on the remote service while a fresh
+    process succeeds in minutes — and a wedged bench run means the
+    round's headline metric is silently lost to the driver's timeout.
+    Because the persistent compile cache stores each jit as it
+    finishes, even an attempt killed mid-cold-compile leaves the retry
+    mostly warm. BENCH_WATCHDOG=0 disables; the attempt budget
+    (BENCH_ATTEMPT_TIMEOUT, default 420 s) covers the warm path ~3x
+    over."""
+    import subprocess
+
+    budget = float(os.environ.get('BENCH_ATTEMPT_TIMEOUT', 420))
+    env = dict(os.environ, BENCH_INNER='1')
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run([sys.executable] + sys.argv,
+                                  env=env, timeout=budget)
+            sys.exit(proc.returncode)
+        except subprocess.TimeoutExpired:
+            print('bench attempt %d exceeded %.0fs (wedged backend?); '
+                  '%s' % (attempt, budget,
+                          'retrying once' if attempt == 1 else 'giving up'),
+                  file=sys.stderr, flush=True)
+    sys.exit(1)
+
+
 def main():
     import jax
     import numpy as np
@@ -125,4 +153,7 @@ def main():
 
 
 if __name__ == '__main__':
+    if (os.environ.get('BENCH_WATCHDOG', '1') == '1'
+            and os.environ.get('BENCH_INNER') != '1'):
+        _watchdog()
     main()
