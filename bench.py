@@ -44,11 +44,11 @@ def _watchdog():
     Because the persistent compile cache stores each jit as it
     finishes, even an attempt killed mid-cold-compile leaves the retry
     mostly warm. BENCH_WATCHDOG=0 disables; the attempt budget
-    (BENCH_ATTEMPT_TIMEOUT, default 420 s) covers the warm path ~3x
+    (BENCH_ATTEMPT_TIMEOUT, default 360 s) covers the warm path ~2x
     over."""
     import subprocess
 
-    budget = float(os.environ.get('BENCH_ATTEMPT_TIMEOUT', 420))
+    budget = float(os.environ.get('BENCH_ATTEMPT_TIMEOUT', 360))
     env = dict(os.environ, BENCH_INNER='1')
     for attempt in (1, 2):
         try:
