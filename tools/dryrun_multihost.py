@@ -103,7 +103,20 @@ def _run_step(jax, mode: str = 'shard_map'):
     batch = shard_batch(mesh, gbatch)
 
     step_fn = make_train_step(cfg, G, Ds, mesh)
-    state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    if jax.process_count() > 1:
+        # Compile-THEN-barrier, the trainer's pattern (train/trainer.py):
+        # a partially-warm compile cache (or 1-core CPU contention, as
+        # hit once under the full pytest suite) can skew the workers'
+        # arrival at the step's first cross-process collective past
+        # Gloo's fixed ~30s key-value rendezvous deadline. AOT-compile,
+        # rendezvous over gRPC (generous timeout), then execute.
+        from text2img_ekl_tpu.parallel.mesh import sync_processes
+        compiled = step_fn.lower(state, batch,
+                                 jax.random.PRNGKey(1)).compile()
+        sync_processes('dryrun_step')
+        state, metrics, _ = compiled(state, batch, jax.random.PRNGKey(1))
+    else:
+        state, metrics, _ = step_fn(state, batch, jax.random.PRNGKey(1))
     out = {k: float(v) for k, v in metrics.items()}
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
