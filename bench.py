@@ -41,16 +41,19 @@ def _watchdog():
     wedge indefinitely waiting on the remote service while a fresh
     process succeeds in minutes — and a wedged bench run means the
     round's headline metric is silently lost to the driver's timeout.
-    Because the persistent compile cache stores each jit as it
-    finishes, even an attempt killed mid-cold-compile leaves the retry
-    mostly warm. BENCH_WATCHDOG=0 disables; the attempt budget
-    (BENCH_ATTEMPT_TIMEOUT, default 360 s) covers the warm path ~2x
-    over."""
+    BENCH_WATCHDOG=0 disables; BENCH_ATTEMPT_TIMEOUT overrides both
+    attempts' budgets."""
     import subprocess
 
-    budget = float(os.environ.get('BENCH_ATTEMPT_TIMEOUT', 360))
+    # Attempt 1 gets a short budget (kills a wedge fast); attempt 2 gets
+    # one long enough for a genuinely COLD fused-step compile (~7.5 min,
+    # a single jit whose cache entry only lands on completion — an
+    # interrupted cold compile does NOT resume warm, only the small init
+    # jits do).
+    env_budget = os.environ.get('BENCH_ATTEMPT_TIMEOUT')
+    budgets = ([float(env_budget)] * 2 if env_budget else [360.0, 900.0])
     env = dict(os.environ, BENCH_INNER='1')
-    for attempt in (1, 2):
+    for attempt, budget in enumerate(budgets, 1):
         try:
             proc = subprocess.run([sys.executable] + sys.argv,
                                   env=env, timeout=budget)
@@ -58,7 +61,8 @@ def _watchdog():
         except subprocess.TimeoutExpired:
             print('bench attempt %d exceeded %.0fs (wedged backend?); '
                   '%s' % (attempt, budget,
-                          'retrying once' if attempt == 1 else 'giving up'),
+                          'retrying once' if attempt < len(budgets)
+                          else 'giving up'),
                   file=sys.stderr, flush=True)
     sys.exit(1)
 
@@ -153,7 +157,10 @@ def main():
 
 
 if __name__ == '__main__':
+    # BENCH_COLD runs measure true compile time — a fixed attempt budget
+    # would kill them mid-compile, so the watchdog stands down.
     if (os.environ.get('BENCH_WATCHDOG', '1') == '1'
-            and os.environ.get('BENCH_INNER') != '1'):
+            and os.environ.get('BENCH_INNER') != '1'
+            and os.environ.get('BENCH_COLD') != '1'):
         _watchdog()
     main()

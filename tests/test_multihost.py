@@ -29,10 +29,23 @@ def test_two_process_step_matches_single_process(tmp_path):
            if not k.startswith(('JAX_', 'XLA_'))}
     env['T2I_MULTIHOST_OUT'] = str(out)
     env['T2I_MULTIHOST_PORT'] = '12973'  # keep clear of manual runs
-    proc = subprocess.run(
+    # New session + killpg on timeout: a plain subprocess timeout would
+    # kill only the launcher, orphaning its worker grandchildren on the
+    # coordinator port and the host's only CPU core for the rest of the
+    # suite. Budget: 3 legs x (2 workers + 1 single), worst-case cold
+    # compiles on 1 core.
+    proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py')],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=2700)
-    assert proc.returncode == 0, proc.stdout + proc.stderr
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO, start_new_session=True)
+    try:
+        stdout, _ = proc.communicate(timeout=5000)
+    except subprocess.TimeoutExpired:
+        import signal
+        os.killpg(proc.pid, signal.SIGKILL)
+        stdout, _ = proc.communicate()
+        raise AssertionError('dryrun timed out:\n%s' % stdout[-4000:])
+    assert proc.returncode == 0, stdout
     report = json.loads(out.read_text())
     assert report['ok']
     # one leg per SPMD lowering: shard_map, gspmd (sharding-annotated

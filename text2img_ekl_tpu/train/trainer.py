@@ -394,41 +394,45 @@ class CondGANTrainer:
                     print('Epoch%d IS: %.3f +- %.3f'
                           % (epoch, mean, std))
                 self.logger.log_scalars(count, {'inception_score': mean})
-                if mean > threshold:
-                    if getattr(scorer, 'real_weights', False):
-                        self.ckpt.save(state, epoch, protect=True,
-                                       prune=self.is_main)
-                        print('Saved good model')
-                    elif self.is_main:
-                        # an IS of 3.4+ from a RANDOM-weight tower is
-                        # noise: the reference's absolute thresholds
-                        # (cub_trainer_splitz_cap_ca.py:670-696) apply
-                        # only with its trained tower loaded
-                        # (T2I_INCEPTION_CKPT)
-                        print('IS %.3f above threshold but inception '
-                              'weights are random — skipping good-model '
-                              'save (set T2I_INCEPTION_CKPT)' % mean)
+                self._is_gated_save(state, epoch, mean, threshold, scorer)
             elif cfg.TRAIN.BIG_EVAL:
                 # Per-epoch eval over >=1000 fresh samples with a save gate
                 # at 5.4 (cub_trainer_splitz_cap_ca.py:698-730).
                 mean = self._big_eval(state, _host_key(3, epoch), n=1000)
                 if self.is_main:
                     print('Epoch%d IS: %.3f' % (epoch, mean))
-                if mean > 5.4:
-                    if getattr(self._big_scorer, 'real_weights', False):
-                        self.ckpt.save(state, epoch, protect=True,
-                                       prune=self.is_main)
-                        print('Saved good model')
-                    elif self.is_main:
-                        print('IS %.3f above threshold but inception '
-                              'weights are random — skipping good-model '
-                              'save (set T2I_INCEPTION_CKPT)' % mean)
+                self._is_gated_save(state, epoch, mean, 5.4,
+                                    self._big_scorer)
 
             if max_steps is not None and total_steps >= max_steps:
                 break
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
         return state
+
+    def _is_gated_save(self, state, epoch, mean, threshold, scorer):
+        """Threshold-gated PROTECTED 'good model' save (the reference's
+        absolute gates, cub_trainer_splitz_cap_ca.py:670-696), refused
+        on random inception weights: an IS of 3.4+ from an unconverted
+        tower is noise. The decision is process 0's, broadcast to every
+        process: the orbax save is COLLECTIVE, while both the local IS
+        mean (per-process prediction pools) and the real-weights flag
+        (a per-host filesystem probe of T2I_INCEPTION_CKPT) can diverge
+        across hosts — a gate branching on local state would send a
+        subset of processes into the save while peers run the next
+        step's collectives and wedge the job."""
+        decision = bool(self.is_main and mean > threshold
+                        and getattr(scorer, 'real_weights', False))
+        if jax.process_count() > 1:
+            decision = any_process_flag(decision)
+        if decision:
+            self.ckpt.save(state, epoch, protect=True, prune=self.is_main)
+            if self.is_main:
+                print('Saved good model')
+        elif self.is_main and mean > threshold:
+            print('IS %.3f above threshold but inception weights are '
+                  'random — skipping good-model save '
+                  '(set T2I_INCEPTION_CKPT)' % mean)
 
     def _make_is_scorer(self):
         """On-device IS predictions; random weights unless a converted
