@@ -105,7 +105,12 @@ def try_fetch_frozen_pb(out_dir: str) -> str:
     try:
         os.makedirs(out_dir, exist_ok=True)
         print('fetch: %s ...' % FROZEN_PB_URL, flush=True)
-        urllib.request.urlretrieve(FROZEN_PB_URL, tgz)
+        # urlopen with explicit timeout (urlretrieve has none — a
+        # blackholed network would hang the gate instead of degrading)
+        import shutil
+        with urllib.request.urlopen(FROZEN_PB_URL, timeout=120) as r, \
+                open(tgz, 'wb') as out:
+            shutil.copyfileobj(r, out)
         with open(tgz, 'rb') as f:
             print('fetch: tgz sha256 %s'
                   % hashlib.sha256(f.read()).hexdigest())
