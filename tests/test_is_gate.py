@@ -45,7 +45,10 @@ def _tiny_cfg():
     cfg.TPU_COMPUTE_DTYPE = 'float32'
     cfg.TPU_CAPSULE_PALLAS = False
     cfg.TPU_SYNTHETIC_DATA = True
-    cfg.TPU_IS_EVERY = 0  # gate only consumes the scorer at epoch end
+    # huge interval: the scorer exists (TPU_IS_EVERY=0 would skip
+    # building it entirely) but the mid-epoch stream never fires — the
+    # epoch-end gate is the only consumer
+    cfg.TPU_IS_EVERY = 1000000
     cfg.TPU_DATA_PARALLEL = 2  # 2-shard mesh (global batch 4)
     cfg.WORKERS = 1
     return cfg

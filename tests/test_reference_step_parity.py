@@ -102,10 +102,23 @@ def _install_stubs():
         ed.EasyDict = EasyDict
         sys.modules['easydict'] = ed
     for name in ('torchvision', 'torchvision.models', 'torchvision.utils',
-                 'tensorboardX', 'inception_score'):
+                 'tensorboardX'):
         if name not in sys.modules:
             mod = types.ModuleType(name)
             sys.modules[name] = mod
+    if 'inception_score' not in sys.modules:
+        # the reference trainer does a bare `import inception_score`
+        # (cub_trainer_splitz_cap_ca.py:26). Prefer the REAL repo-root
+        # CLI module (import-light, and other tests import load_images
+        # from it later in the same process — an empty stub would
+        # shadow it for the rest of the pytest run); fall back to an
+        # empty module only if the real import fails.
+        try:
+            import importlib
+            importlib.import_module('inception_score')
+        except Exception:
+            sys.modules['inception_score'] = types.ModuleType(
+                'inception_score')
     sys.modules['tensorboardX'].summary = types.SimpleNamespace(
         scalar=lambda *a, **k: None)
     sys.modules['tensorboardX'].FileWriter = object

@@ -74,6 +74,7 @@ class InceptionScorer:
         self.batch_size = batch_size
         self.frozen_input = flavor == 'fid'
         self.predictions: List[Any] = []  # device-resident until score()
+        self._rows = 0
 
         def predict(vars_, images):
             if self.frozen_input:
@@ -119,6 +120,19 @@ class InceptionScorer:
     #: spill — this bounds HBM if score() is deferred for a long time)
     SPILL_AFTER = 25000
 
+    @staticmethod
+    def _to_host(p) -> np.ndarray:
+        """Host rows of a prediction array. On a multi-host mesh the
+        [B, C] array spans non-addressable devices (step fakes are
+        sharded over the GLOBAL data axis) and np.asarray raises —
+        fetch this process's addressable shards instead; each process
+        then scores its local pool and the trainer's gate broadcasts
+        process 0's decision."""
+        if isinstance(p, jax.Array) and not p.is_fully_addressable:
+            return np.concatenate(
+                [np.asarray(s.data) for s in p.addressable_shards], axis=0)
+        return np.asarray(p)
+
     def add(self, images) -> None:
         """Queue one prediction batch WITHOUT a host sync: the [B, C]
         prob array stays device-resident until score() materializes it,
@@ -126,22 +140,27 @@ class InceptionScorer:
         the tunneled backend costs ~100 ms; measured ~125 ms/gate before
         this, PERF.md). Past SPILL_AFTER queued rows, everything spills
         to host in one drain so HBM use stays bounded."""
-        self.predictions.append(self.predict_batch(images))
+        p = self.predict_batch(images)
+        self.predictions.append(p)
+        self._rows += p.shape[0]  # global rows: symmetric across hosts
         n_dev = sum(p.shape[0] for p in self.predictions
                     if not isinstance(p, np.ndarray))
         if n_dev >= self.SPILL_AFTER:
-            self.predictions = [np.asarray(p) for p in self.predictions]
+            self.predictions = [self._to_host(p) for p in self.predictions]
 
     @property
     def count(self) -> int:
-        return sum(p.shape[0] for p in self.predictions)
+        """Rows accumulated since the last reset, counted in GLOBAL
+        batch rows so every process's gate trips at the same step."""
+        return self._rows
 
     def score(self, num_splits: int = 1,
               reset: bool = True) -> Tuple[float, float]:
         preds = np.concatenate(
-            [np.asarray(p) for p in self.predictions], 0)
+            [self._to_host(p) for p in self.predictions], 0)
         if reset:
             self.predictions = []
+            self._rows = 0
         return compute_inception_score(preds, num_splits)
 
     def score_images(self, images: np.ndarray,

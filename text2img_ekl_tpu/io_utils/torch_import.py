@@ -51,6 +51,7 @@ def _flax_path_to_torch(path) -> str:
         return '%s.%s' % (prefix, _BN_LEAF[leaf])
 
     # --- conditioning nets (CA_NET / VC_NET, model.py:126-201) ----------
+    # covers both the numbered CAs (ca_net1/2) and GNet's bare 'ca_net'
     if top.startswith('ca_net'):
         return '%s.fc.%s' % (top, leaf if leaf == 'bias' else 'weight')
     if top.startswith('vc_net'):
@@ -59,8 +60,6 @@ def _flax_path_to_torch(path) -> str:
             return '%s.%s.%s' % (top, _VC_DENSE[m],
                                  leaf if leaf == 'bias' else 'weight')
         return bn_key('%s.%s' % (top, _VC_BN[m]))
-    if top == 'ca_net':  # GNet's single CA
-        return 'ca_net.fc.%s' % (leaf if leaf == 'bias' else 'weight')
 
     # --- toRGB heads (GET_IMAGE_G, model.py:426-437) --------------------
     if top.startswith('img_net'):

@@ -24,19 +24,35 @@ import jax.numpy as jnp
 _LOG_CLAMP = 100.0
 
 
-def bce(p: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Binary cross entropy over probabilities, mean reduction.
+def _clamped_log(x: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.BCELoss's log semantics: log(x) clamped to >= -100, with
+    zero gradient where the clamp engages. The clamp region is selected
+    by `where` BEFORE the log so a saturated input (x == 0, where a
+    plain log is -inf and its pulled-back gradient is 0 * inf = NaN)
+    stays finite in both passes."""
+    # Threshold at the smallest NORMAL f32 rather than torch's exact
+    # e^-100 (~3.7e-44): that value is subnormal and gets flushed to 0
+    # in f32 folding/TPU arithmetic, which would defeat the clamp at
+    # exact saturation. For subnormal x in (~1.4e-45, 1.2e-38) torch
+    # would give log(x) in (-103, -87) vs our -100 — unreachable from a
+    # sigmoid on hardware that flushes subnormals anyway.
+    clamped = x < jnp.float32(1.2e-38)
+    return jnp.where(clamped, -_LOG_CLAMP,
+                     jnp.log(jnp.where(clamped, 1.0, x)))
 
-    Probabilities are clipped so a fully-saturated sigmoid yields the same
-    -100 clamped log torch uses without an infinite/NaN gradient.
-    """
-    # clip bounds chosen so 1/p stays finite in f32 (no inf*0 -> NaN in the
-    # gradient at exact saturation) while log(p) stays above torch's -100
-    p = jnp.clip(p.astype(jnp.float32), 1e-37, 1.0 - 1e-7)
+
+def bce(p: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross entropy over probabilities, mean reduction —
+    torch.nn.BCELoss semantics including the -100 log clamp: a fully
+    saturated wrong-way sigmoid contributes exactly 100 per element on
+    BOTH sides (an earlier version clipped p to 1 - 1e-7 first, so the
+    target-0/p->1 side bottomed out at ~16.1 and the printed D/G losses
+    diverged from the reference by up to ~84 in exactly the saturated
+    regimes GAN debugging cares about)."""
+    p = p.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(p), -_LOG_CLAMP)
-    log_1p = jnp.maximum(jnp.log1p(-p), -_LOG_CLAMP)
-    return -jnp.mean(target * log_p + (1.0 - target) * log_1p)
+    return -jnp.mean(target * _clamped_log(p)
+                     + (1.0 - target) * _clamped_log(1.0 - p))
 
 
 def ce_loss(logq: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:

@@ -247,7 +247,12 @@ class CondGANTrainer:
             state, getattr(cfg, 'TPU_EMA_DECAY', 0.0))
         step_fn = make_train_step(cfg, self.G, self.Ds, self.mesh)
 
-        scorer = self._make_is_scorer() if not cfg.TRAIN.BIG_EVAL else None
+        # no tower when the stream is disabled outright (TPU_IS_EVERY<=0):
+        # the InceptionV3 init + optional conversion is real startup cost
+        # on a 1-core host and its random-weights warning would mislead
+        scorer = (self._make_is_scorer()
+                  if not cfg.TRAIN.BIG_EVAL and cfg.TPU_IS_EVERY > 0
+                  else None)
         threshold = (IS_THRESHOLD_COCO if self.is_coco
                      else (IS_THRESHOLD_CUB_GENERAL if cfg.TRAIN.GENERAL_IS
                            else IS_THRESHOLD_CUB_FINETUNED))
@@ -684,6 +689,7 @@ class CondGANTrainer:
                                        cfg.imsize, nid)
 
         while not done:
+            pass_start_count = count
             for step, data in enumerate(self.data_loader):
                 if max_batches is not None and step >= max_batches:
                     break
@@ -702,7 +708,10 @@ class CondGANTrainer:
                     # filename scheme meaningful.
                     file_cls = np.asarray(cls).argmax(1) + 1
                 else:
-                    file_cls = cls
+                    # the reference writes 0-BASED ids into filenames
+                    # (cls-=1 before save_singleimages,
+                    # cub_trainer_splitz_cap_ca.py:849)
+                    file_cls = cls0
                 noise = np_rng.standard_normal(
                     (bsz, cfg.GAN.Z_DIM), dtype=np.float32)
                 if cls_share:
@@ -792,6 +801,13 @@ class CondGANTrainer:
                 print('[%d/%d]' % (step, self.num_batches))
                 if target is not None and count >= target:
                     break
+            if count == pass_start_count and not single_pass:
+                # a full loader pass produced nothing (drop_last with a
+                # split smaller than the batch, or an over-strided
+                # multi-host shard): looping again would spin forever
+                print('!! eval loader yielded no batches — stopping at '
+                      '%d images (target %s)' % (count, target))
+                break
             done = single_pass or target is None or count >= target
             nid_base += sample_num
         _drain(0)

@@ -14,6 +14,7 @@ nets, so this is the identical computation). Checkpoints are orbax trees of
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Optional
 
@@ -22,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io_utils import save_single_images
-from ..io_utils.images import save_super_images
+from ..io_utils.images import flush_writes, save_super_images
 from ..models.generator import CondGNet, GNet
 
 
@@ -97,8 +98,13 @@ def evaluate_two_path(cfg, data_loader, output_dir: str,
         two_path_sample(sen_net, entity_net, sv, ev, rng, noise, txt, cls)))
 
     save_dir = os.path.join(output_dir, 'eval', 'Testset_trainmode_twopath')
-    rng = jax.random.PRNGKey(100)
     embedding_dim = 10
+    # Host-built keys + host noise, the trainer.evaluate pattern: an
+    # eager jax.random.split/normal per (caption, draw) costs ~100 ms
+    # each on the tunneled backend (PERF.md pitfall); the jitted sample
+    # call transfers them with the other args.
+    np_rng = np.random.default_rng(100)
+    kseq = itertools.count()
     for step, data in enumerate(data_loader):
         if max_batches is not None and step >= max_batches:
             break
@@ -110,8 +116,9 @@ def evaluate_two_path(cfg, data_loader, output_dir: str,
         fake_img_list = []
         for i in range(min(embedding_dim, embeddings.shape[1])):
             for j in range(sample_num):
-                rng, k_n, k_s = jax.random.split(rng, 3)
-                noise = jax.random.normal(k_n, (bsz, cfg.GAN.Z_DIM))
+                k_s = np.array([200, next(kseq)], np.uint32)
+                noise = np_rng.standard_normal(
+                    (bsz, cfg.GAN.Z_DIM), dtype=np.float32)
                 fakes = sample(sen_vars, ent_vars, k_s, noise,
                                jnp.asarray(embeddings[:, i, :]), cls_onehot)
                 if cfg.TEST.B_EXAMPLE:
@@ -124,4 +131,7 @@ def evaluate_two_path(cfg, data_loader, output_dir: str,
             save_super_images(fake_img_list, data['key'], save_dir,
                               split_dir, 256)
         print('[%d]' % step)
+    errors = flush_writes()  # join the async native PNG writer
+    if errors:
+        print('!! %d image writes failed' % errors)
     return save_dir
