@@ -38,6 +38,20 @@ def test_bce_saturated_is_clamped_and_finite_grad():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_bce_saturated_matches_torch_exactly():
+    """At full saturation torch's BCELoss clamps each log to -100, so a
+    fully-wrong prediction contributes exactly 100 per element on BOTH
+    sides — the regime GAN loss logs are read in (an earlier version
+    bottomed the target-0/p->1 side out at ~16)."""
+    torch = pytest.importorskip('torch')
+    p = np.array([0.0, 1.0, 0.0, 1.0], np.float32)
+    t = np.array([1.0, 0.0, 0.0, 1.0], np.float32)  # wrong, wrong, right x2
+    ref = torch.nn.BCELoss()(torch.tensor(p), torch.tensor(t)).item()
+    ours = float(bce(jnp.array(p), jnp.array(t)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+    assert ours == pytest.approx(50.0)  # (100 + 100 + 0 + 0) / 4
+
+
 def test_ce_loss_matches_reference_formula():
     """ce_loss(logq, p) = -sum(p*logq)/batch
     (cub_trainer_splitz_cap_ca.py:60-65)."""
