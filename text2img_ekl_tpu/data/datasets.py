@@ -227,6 +227,16 @@ class TextDataset:
             'key': key,
         }
 
+    def item(self, index: int, rng) -> Dict[str, Any]:
+        """Thread-safe fetch: all randomness comes from the CALLER's
+        generator (the loader hands each item its own deterministic
+        rng — the shared self.rng is not thread-safe under the decode
+        pool and would yield correlated crops / nondeterministic
+        epochs)."""
+        if self.train_pairs:
+            return self.training_pair(index, rng)
+        return self.test_pair(index, rng)
+
     def __getitem__(self, index: int):
         if self.train_pairs:
             return self.training_pair(index)
@@ -264,13 +274,16 @@ class ImageFolderDataset:
         self.transform = transform or T.build_train_transform(self.imsize[-1])
         self.rng = np.random.default_rng(seed)
 
-    def __getitem__(self, index: int):
+    def item(self, index: int, rng):
         path, target = self.imgs[index]
         img = Image.open(path).convert('RGB')
-        img = self.transform(img, self.rng)
+        img = self.transform(img, rng)
         return {'imgs': T.multiscale_pyramid(img, self.imsize,
                                              as_uint8=self.uint8_output),
                 'cls': np.int64(target)}
+
+    def __getitem__(self, index: int):
+        return self.item(index, self.rng)
 
     def __len__(self):
         return len(self.imgs)
@@ -312,14 +325,17 @@ class LSUNClassDataset:
         self.transform = transform or T.build_train_transform(self.imsize[-1])
         self.rng = np.random.default_rng(seed)
 
-    def __getitem__(self, index: int):
+    def item(self, index: int, rng):
         import io
         with self.env.begin(write=False) as txn:
             imgbuf = txn.get(self.keys[index])
         img = Image.open(io.BytesIO(imgbuf)).convert('RGB')
-        img = self.transform(img, self.rng)
+        img = self.transform(img, rng)
         return {'imgs': T.multiscale_pyramid(img, self.imsize,
                                              as_uint8=self.uint8_output)}
+
+    def __getitem__(self, index: int):
+        return self.item(index, self.rng)
 
     def __len__(self):
         return self.length
@@ -398,6 +414,11 @@ class SyntheticTextDataset:
             'cls': self._class_vector(index),
             'key': self.filenames[index],
         }
+
+    def item(self, index: int, rng):
+        if self.train_pairs:
+            return self.training_pair(index, rng)
+        return self.test_pair(index, rng)
 
     def __getitem__(self, index: int):
         if self.train_pairs:

@@ -36,6 +36,18 @@ def _stack_items(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def _put_resilient(q: 'queue.Queue', item, stop: threading.Event) -> None:
+    """Put that cannot hang a producer whose consumer is gone: retry on
+    a full queue only until ``stop`` is set."""
+    while True:
+        try:
+            q.put(item, timeout=0.1)
+            return
+        except queue.Full:
+            if stop.is_set():
+                return
+
+
 class DataLoader:
     """``batch_size`` is the PER-PROCESS batch. In a multi-host run
     (``num_shards = jax.process_count()``) every process shuffles the full
@@ -66,8 +78,15 @@ class DataLoader:
 
     def _shard_len(self) -> int:
         n = len(self.dataset)
-        # size of this process's stride shard of the epoch permutation
-        return (n - self.shard_id + self.num_shards - 1) // self.num_shards
+        if self.num_shards == 1:
+            return n
+        # MINIMUM stride-shard size, not this shard's own: every process
+        # must report the SAME length — the trainer drives collective
+        # steps off this loop, and when len(dataset) % num_shards != 0 a
+        # host whose stride got one extra item would run one extra
+        # psum step per epoch and wedge the job on mismatched
+        # collectives.
+        return n // self.num_shards
 
     def __len__(self):
         n = self._shard_len()
@@ -120,13 +139,37 @@ class DataLoader:
                                 print('!! native decode unavailable, '
                                       'using PIL: %s' % e)
                                 use_native = False
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              batch_idx))
+                        fetch = getattr(self.dataset, 'item', None)
+                        if fetch is not None:
+                            # one deterministic Generator PER ITEM: the
+                            # datasets' shared self.rng is not
+                            # thread-safe under the pool (concurrent
+                            # draws corrupt PCG64 state -> correlated
+                            # crops, nondeterministic epochs), and
+                            # per-(seed, epoch, index) seeding makes the
+                            # pipeline reproducible independent of
+                            # worker scheduling.
+                            seed = self._seed
+
+                            def get_one(i):
+                                return fetch(int(i), np.random.default_rng(
+                                    (seed, epoch, int(i))))
+
+                            items = list(pool.map(get_one, batch_idx))
+                        else:
+                            items = list(pool.map(self.dataset.__getitem__,
+                                                  batch_idx))
                         q.put(self.collate(items))
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put_resilient(q, e, stop)
             finally:
-                q.put(None)
+                # End-of-stream sentinel. Both this and the error put are
+                # best-effort: if the consumer abandoned mid-epoch
+                # (max_steps) with a full queue, a blocking put would
+                # leak this thread (plus a decoded batch) forever; the
+                # consumer's finally-drain runs AFTER stop.set(), so on
+                # the live path the slot frees and the put lands.
+                _put_resilient(q, None, stop)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

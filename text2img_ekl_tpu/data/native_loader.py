@@ -45,10 +45,20 @@ def get_lib():
         if _lib is not None:
             return _lib
         so = _SO
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
-            so = _build()
-        lib = ctypes.CDLL(so)
+        # A shipped .so without its source (pip install, partial tree)
+        # is usable as-is; only rebuild when the source exists and is
+        # newer. Any surprise here must surface as NativeUnavailable so
+        # callers take the documented PIL fallback.
+        try:
+            if (not os.path.exists(so)
+                    or (os.path.exists(_SRC)
+                        and os.path.getmtime(so) < os.path.getmtime(_SRC))):
+                so = _build()
+            lib = ctypes.CDLL(so)
+        except NativeUnavailable:
+            raise
+        except OSError as e:
+            raise NativeUnavailable('native loader unavailable: %s' % e)
         lib.t2i_loader_create.restype = ctypes.c_void_p
         lib.t2i_loader_create.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),

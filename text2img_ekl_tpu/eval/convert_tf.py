@@ -325,8 +325,10 @@ FROZEN_PB_URL = ('http://download.tensorflow.org/models/image/imagenet/'
 FROZEN_PB_NAME = 'classify_image_graph_def.pb'
 
 
-def frozen_pb_to_inception(pb_path: str, dtype=None):
+def frozen_pb_to_inception(pb_path: str):
     """One-call loader: frozen pb -> ('fid'-flavor variables, num_classes).
+    Variables are float32; compute dtype is the scorer's knob
+    (InceptionScorer/FIDScorer ``dtype=``), not this loader's.
 
     num_classes comes from the graph's own softmax/weights (1008 in the
     released export — the padded 2015 label set)."""

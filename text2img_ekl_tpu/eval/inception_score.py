@@ -66,9 +66,8 @@ class InceptionScorer:
                  flavor: str = 'slim', dtype=None):
         """``dtype=jnp.bfloat16`` speeds the tower ~26%% — fine for the
         in-training relative gate; offline scoring should stay f32."""
-        import jax.numpy as _jnp
         self.model = make_inception(num_classes, flavor,
-                                    dtype=dtype or _jnp.float32)
+                                    dtype=dtype or jnp.float32)
         self.variables = variables
         self.finetuned = finetuned
         self.batch_size = batch_size
@@ -90,6 +89,19 @@ class InceptionScorer:
 
         self._predict = jax.jit(predict)
 
+        def predict_u8(vars_, images):
+            # directory-eval input: NHWC uint8 [0, 255]
+            if self.frozen_input:
+                x = preprocess_frozen(images.astype(jnp.float32))
+            else:
+                x = preprocess_uint8(images)
+            logits, _ = self.model.apply(vars_, x)
+            if finetuned:
+                logits = logits[:, 1:]
+            return jax.nn.softmax(logits, axis=-1)
+
+        self._predict_u8 = jax.jit(predict_u8)
+
     @classmethod
     def from_frozen_pb(cls, pb_path: str, batch_size: int = 64, dtype=None):
         """General-IS scorer off classify_image_graph_def.pb — weights AND
@@ -105,15 +117,11 @@ class InceptionScorer:
         return self._predict(self.variables, images)
 
     def predict_uint8(self, images: np.ndarray) -> jnp.ndarray:
-        """images: NHWC uint8 [0, 255] (directory eval path)."""
-        if self.frozen_input:
-            x = preprocess_frozen(jnp.asarray(images, jnp.float32))
-        else:
-            x = preprocess_uint8(jnp.asarray(images))
-        logits, _ = self.model.apply(self.variables, x)
-        if self.finetuned:
-            logits = logits[:, 1:]
-        return jax.nn.softmax(logits, axis=-1)
+        """images: NHWC uint8 [0, 255] (directory eval path). Jitted:
+        an eager Inception forward is hundreds of ops and the tunneled
+        backend dispatches each one eagerly at ~100 ms (PERF.md) —
+        the 30k-image protocol would take hours instead of minutes."""
+        return self._predict_u8(self.variables, jnp.asarray(images))
 
     #: device-resident prediction rows held before spilling to host
     #: (25k x 1008 f32 ~ 100 MB; normal gates score at 3000 and never

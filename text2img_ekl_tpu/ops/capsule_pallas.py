@@ -61,6 +61,22 @@ def _forward(x: jnp.ndarray, weight: jnp.ndarray,
     [B, out, out_length]."""
     bsz, in_caps, in_length = x.shape
     out_caps, out_length, _ = weight.shape
+    # Same VMEM discipline as _bwd: the kernel holds the full weight
+    # block plus the u scratch resident; shapes past the measured 64MB
+    # Mosaic ceiling fall back to the pure-JAX routing (the backward
+    # would have fallen back anyway), and sets past Mosaic's default
+    # budget get an explicit raised limit instead of a compile error.
+    w_bytes, u_bytes = _padded_sizes(x.shape, weight.shape)
+    need = w_bytes + u_bytes + 2 * 1024 * 1024
+    if need > _VMEM_MAX:
+        from .capsule import compute_votes, dynamic_routing
+        return dynamic_routing(
+            compute_votes(x.astype(jnp.float32),
+                          weight.astype(jnp.float32)), num_iterations)
+    extra = {}
+    if need > _VMEM_DEFAULT:
+        extra['compiler_params'] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(need))
     # [out, out_length, in_length] -> [out_length, in_length, out]
     w_t = jnp.transpose(weight, (1, 2, 0)).astype(jnp.float32)
 
@@ -90,6 +106,7 @@ def _forward(x: jnp.ndarray, weight: jnp.ndarray,
             + bsz * out_caps * out_length * 4,
             transcendentals=num_iterations * bsz * in_caps * out_caps,
         ),
+        **extra,
     )(x.astype(jnp.float32), w_t)
     return jnp.transpose(v, (0, 2, 1))  # [B, out, out_length]
 
