@@ -81,11 +81,17 @@ def test_imgs2ndarray_cache_roundtrip(tmp_path):
                                      dtype=np.uint8)).save(d / f'{i}.png')
     out = imgs2ndarray(str(d), size=16)
     assert len(out) == 3 and out[0].shape == (16, 16, 3)
-    assert (tmp_path / 'imgs.ndarray.pkl').is_file()
+    # size participates in the cache key: a full-size cache must never
+    # be served to a size=16 call and vice versa
+    assert (tmp_path / 'imgs.ndarray_16.pkl').is_file()
     (d / '0.png').unlink()  # cache must mask the deletion
     again = imgs2ndarray(str(d), size=16)
     assert len(again) == 3
     np.testing.assert_array_equal(out[0], again[0])
+    # ...but a different size is a different cache entry, re-scanned
+    full = imgs2ndarray(str(d))
+    assert len(full) == 2 and full[0].shape == (20, 24, 3)
+    assert (tmp_path / 'imgs.ndarray.pkl').is_file()
 
 
 def test_spectral_norm_dense_bounds_singular_value():

@@ -128,6 +128,20 @@ def test_exchange_capsule_variant():
     assert imgs[0].shape == (2, 64, 64, 3)
 
 
+def test_exchange_capsule_variant_z100():
+    """The flagship yml's commented alternative (Z_DIM: 100 with
+    EXCHANGE): the class half is MANIFD_DIM + Z_DIM = 228 wide, which
+    does not divide into length-8 capsules — the branch must zero-pad
+    like CondInitStageGWithCap instead of crashing in reshape."""
+    cfg = _small(cfg_from_file(
+        os.path.join(REF_CFG_DIR, 'birds_2stg_splitz_cap_ca.realcls.yml')))
+    cfg.TRAIN.EXCHANGE = True
+    cfg.GAN.Z_DIM = 100
+    G = build_generator(cfg)
+    vs, hcodes, imgs, _ = _init_and_run_g(G, cfg)
+    assert imgs[0].shape == (2, 64, 64, 3)
+
+
 def test_cat_z_product_and_sum():
     for cat in ['product', 'sum']:
         cfg = _small(cfg_from_file(

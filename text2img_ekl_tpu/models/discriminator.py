@@ -86,6 +86,10 @@ class DNet(nn.Module):
             self.uncond_logits = Conv4x4s4(1, dtype=self.dtype)
 
     def __call__(self, x, c_code=None, train: bool = True):
+        if c_code is not None and c_code.shape[-1] != self.ef_dim:
+            raise ValueError(
+                'condition code width %d != ef_dim %d this DNet was '
+                'built for' % (c_code.shape[-1], self.ef_dim))
         x_code = self.tower(x, train)
         if self.b_condition and c_code is not None:
             h = _concat_cond(x_code, c_code)
@@ -127,6 +131,13 @@ class JointDNet(nn.Module):
             self.fc_ac = Dense(self.entity_dim + 1, dtype=self.dtype)
 
     def __call__(self, x, c_code, train: bool = True):
+        if c_code.shape[-1] != self.ef_dim:
+            # enforce the documented contract instead of leaving the
+            # joint conv to lazily shape itself around a wrong width and
+            # fail obscurely (or not at all) later
+            raise ValueError(
+                'condition code width %d != ef_dim %d this JointDNet was '
+                'built for' % (c_code.shape[-1], self.ef_dim))
         x_code = self.tower(x, train)                 # [B, 4, 4, 8ndf]
         h = _concat_cond(x_code, c_code)
         h = self.jointConv(h, train)

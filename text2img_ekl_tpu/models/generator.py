@@ -178,6 +178,13 @@ class CondInitStageGExchangeCap(nn.Module):
     def _branch(self, z_half, cap, bn, train):
         b = z_half.shape[0]
         half = self.ngf // 2
+        # same zero-pad guard as CondInitStageGWithCap: the class half is
+        # MANIFD_DIM + Z_DIM wide when noise is concatenated, which need
+        # not divide into length-8 capsules (e.g. Z_DIM=100 with
+        # EXCHANGE); zero capsules emit zero votes and are routing no-ops
+        pad = (-z_half.shape[1]) % 8
+        if pad:
+            z_half = jnp.pad(z_half, ((0, 0), (0, pad)))
         out = cap(z_half.reshape(b, -1, 8))             # [B, ngf, 16]
         x = out.reshape(b, half * 4 * 4 * 2)
         x = bn(x, use_running_average=not train)

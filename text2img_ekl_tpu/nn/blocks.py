@@ -391,11 +391,20 @@ class Conv4x4s4(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # The reference's weights_init orthogonalizes conv WEIGHTS only;
+        # conv biases keep torch Conv2d's default U(-sqrt(k), sqrt(k)),
+        # k = 1/(C_in*kh*kw) — the D logit heads are the only biased
+        # convs, so match that distribution rather than zeros.
+        bound = float(np.sqrt(1.0 / (x.shape[-1] * 16)))
+
+        def torch_bias(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
         return nn.Conv(
             self.features, (4, 4), strides=4, padding=0, use_bias=True,
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=orthogonal_init,
-            bias_init=jax.nn.initializers.zeros,
+            bias_init=torch_bias,
         )(x)
 
 

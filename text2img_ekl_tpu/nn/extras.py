@@ -24,7 +24,10 @@ def imgs2ndarray(folder: str, cache: Optional[str] = None,
     (myutils.py:12-25)."""
     from PIL import Image
 
-    cache = cache or (folder.rstrip('/') + '.ndarray.pkl')
+    # size participates in the cache key: a full-size cache must not be
+    # served to a later size=64 call (silently wrong-resolution arrays)
+    suffix = '.ndarray%s.pkl' % ('_%d' % size if size else '')
+    cache = cache or (folder.rstrip('/') + suffix)
     if os.path.isfile(cache):
         with open(cache, 'rb') as f:
             return pickle.load(f)
@@ -93,7 +96,10 @@ class CondInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, labels):
-        gamma = self.param('gamma', jax.nn.initializers.ones,
+        # the reference draws gamma ~ U[0,1) (myutils.py:85-86
+        # self.weight.data.uniform_()), NOT ones — a fresh build must
+        # start from the same function distribution
+        gamma = self.param('gamma', jax.nn.initializers.uniform(scale=1.0),
                            (self.num_classes, self.num_features))
         beta = self.param('beta', jax.nn.initializers.zeros,
                           (self.num_classes, self.num_features))
