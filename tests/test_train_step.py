@@ -227,14 +227,17 @@ def test_sharded_adam_matches_replicated():
 
     # two more steps: the ~1e-7 association-order difference amplifies
     # through the adversarial dynamics; trajectories must stay in the
-    # same band (finite, sub-percent)
+    # same band (finite, few-percent — observed up to 3.3% on
+    # errG_uncond after the torch-default logit-head bias init landed;
+    # the EXACT plumbing is covered by the strict one-step checks above
+    # and test_zero1_reduction_matches_pmean)
     for i in range(2):
         state_r, mr, _ = step_r(state_r, batch, jax.random.PRNGKey(6 + i))
         state_z, mz, _ = step_z(state_z, batch, jax.random.PRNGKey(6 + i))
     for k in mr:
         assert np.isfinite(float(mz[k])), k
         np.testing.assert_allclose(float(mr[k]), float(mz[k]),
-                                   rtol=2e-2, atol=1e-3, err_msg=k)
+                                   rtol=6e-2, atol=1e-3, err_msg=k)
 
 
 def test_grouped_d_matches_sequential():
