@@ -117,8 +117,10 @@ def test_loader_reshuffles_between_epochs():
 
 def test_loader_process_sharding_partitions_epoch():
     """Multi-host striding: every process shuffles with the same epoch
-    seed and takes a disjoint stride; the union of all shards is exactly
-    one epoch and per-shard batch counts match the global count."""
+    seed and takes a disjoint stride truncated to the minimum shard size
+    (so every process sees identical batch counts AND shapes); the union
+    covers the epoch up to the < num_shards leftover items that no
+    lockstep schedule could consume."""
     ds = SyntheticTextDataset(num_items=67, base_size=32, branch_num=1,
                               entity_dim=5, text_dim=4)
     shards = [DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
@@ -127,7 +129,9 @@ def test_loader_process_sharding_partitions_epoch():
     per_shard = [dl._epoch_indices() for dl in shards]
     allidx = np.concatenate(per_shard)
     assert len(set(allidx.tolist())) == len(allidx)  # disjoint
-    assert sorted(allidx.tolist()) == list(range(67))  # full coverage
+    # every shard truncated to the same minimum length (67 // 4 = 16)
+    assert all(len(s) == 16 for s in per_shard)
+    assert len(allidx) == 64  # epoch minus the 3 unschedulable leftovers
     # same permutation across processes: shard 0 of a re-built loader
     # reproduces shard 0 exactly
     again = DataLoader(ds, batch_size=4, shuffle=True, num_workers=1,
@@ -139,6 +143,20 @@ def test_loader_process_sharding_partitions_epoch():
         assert len(list(dl)) == 4
     with pytest.raises(ValueError):
         DataLoader(ds, batch_size=4, shard_id=4, num_shards=4)
+
+
+def test_loader_sharded_drop_last_false_shapes_match():
+    """With drop_last=False and len(dataset) % num_shards != 0, every
+    process must still see IDENTICAL batch sizes (including the ragged
+    final batch) or the collective step wedges on mismatched shapes."""
+    ds = SyntheticTextDataset(num_items=67, base_size=32, branch_num=1,
+                              entity_dim=5, text_dim=4)
+    shards = [DataLoader(ds, batch_size=5, shuffle=True, num_workers=1,
+                         drop_last=False, seed=3, shard_id=i, num_shards=4)
+              for i in range(4)]
+    sizes = [[len(b['key']) for b in dl] for dl in shards]
+    assert sizes[0] == [5, 5, 5, 1]  # 16-item shard, ragged tail
+    assert all(s == sizes[0] for s in sizes[1:])
 
 
 def test_imagefolder_dataset(tmp_path):

@@ -52,6 +52,18 @@ def test_bce_saturated_matches_torch_exactly():
     assert ours == pytest.approx(50.0)  # (100 + 100 + 0 + 0) / 4
 
 
+def test_bce_out_of_range_input_is_finite():
+    """torch.nn.BCELoss raises on p outside [0, 1]; inside jit we can't
+    raise data-dependently, so bce clamps instead of silently emitting
+    NaN through log of a negative (p slightly > 1 makes 1-p < 0)."""
+    p = jnp.array([1.0 + 1e-6, -1e-6, 1.5, -0.5])
+    t = jnp.array([0.0, 1.0, 0.0, 1.0])
+    val = float(bce(p, t))
+    assert np.isfinite(val) and val == pytest.approx(100.0)
+    g = jax.grad(lambda x: bce(x, t))(p)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_ce_loss_matches_reference_formula():
     """ce_loss(logq, p) = -sum(p*logq)/batch
     (cub_trainer_splitz_cap_ca.py:60-65)."""

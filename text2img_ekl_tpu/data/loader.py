@@ -53,8 +53,11 @@ class DataLoader:
     (``num_shards = jax.process_count()``) every process shuffles the full
     index set with the same epoch seed and takes a disjoint stride
     (``shard_id::num_shards``), so hosts decode only their share and the
-    union is exactly one reference epoch; the per-host batches are
-    assembled into global arrays by ``parallel.mesh.shard_batch``."""
+    union is one reference epoch up to ``len(dataset) % num_shards``
+    leftover items (every shard is truncated to the minimum shard size so
+    all processes step in lockstep — see ``_epoch_indices``); the
+    per-host batches are assembled into global arrays by
+    ``parallel.mesh.shard_batch``."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 4,
@@ -101,7 +104,13 @@ class DataLoader:
             # a disjoint stride per process
             np.random.default_rng(self._seed + self._epoch).shuffle(idx)
         if self.num_shards > 1:
-            idx = idx[self.shard_id::self.num_shards]
+            # Truncate every stride shard to the MINIMUM shard size so all
+            # processes see identical batch shapes even with
+            # drop_last=False: when len(dataset) % num_shards != 0, a
+            # larger shard's final batch would otherwise differ in SIZE
+            # from the minimum shard's, wedging the job on mismatched
+            # collectives exactly like a mismatched step COUNT would.
+            idx = idx[self.shard_id::self.num_shards][:self._shard_len()]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

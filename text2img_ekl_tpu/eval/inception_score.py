@@ -137,8 +137,19 @@ class InceptionScorer:
         then scores its local pool and the trainer's gate broadcasts
         process 0's decision."""
         if isinstance(p, jax.Array) and not p.is_fully_addressable:
+            # Deduplicate by shard index (a partially-replicated array —
+            # possible under the gspmd lowering — yields the same row
+            # range on several local devices; counting each copy would
+            # inflate the pool) and order by row start, which backends
+            # do not guarantee for addressable_shards.
+            by_index = {}
+            for s in p.addressable_shards:
+                key = tuple((sl.start or 0, sl.stop) for sl in s.index)
+                by_index.setdefault(key, s)
+            shards = sorted(by_index.values(),
+                            key=lambda s: s.index[0].start or 0)
             return np.concatenate(
-                [np.asarray(s.data) for s in p.addressable_shards], axis=0)
+                [np.asarray(s.data) for s in shards], axis=0)
         return np.asarray(p)
 
     def add(self, images) -> None:

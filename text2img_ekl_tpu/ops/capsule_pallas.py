@@ -66,8 +66,8 @@ def _forward(x: jnp.ndarray, weight: jnp.ndarray,
     # Mosaic ceiling fall back to the pure-JAX routing (the backward
     # would have fallen back anyway), and sets past Mosaic's default
     # budget get an explicit raised limit instead of a compile error.
-    w_bytes, u_bytes = _padded_sizes(x.shape, weight.shape)
-    need = w_bytes + u_bytes + 2 * 1024 * 1024
+    w_bytes, u_bytes, x_bytes, v_bytes = _padded_sizes(x.shape, weight.shape)
+    need = w_bytes + u_bytes + x_bytes + v_bytes + 2 * 1024 * 1024
     if need > _VMEM_MAX:
         from .capsule import compute_votes, dynamic_routing
         return dynamic_routing(
@@ -296,26 +296,33 @@ _VMEM_MAX = 64 * 1024 * 1024
 
 
 def _padded_sizes(x_shape, w_shape):
-    """(w_bytes, u_bytes) with TPU (8,128) tile padding applied."""
+    """(w_bytes, u_bytes, x_bytes, v_bytes) with TPU (8,128) tile padding
+    applied. x/v are the per-grid-step input/output blocks the kernel also
+    holds resident (small next to w/u at every in-repo shape, but a shape
+    near the 64MB ceiling must budget them to keep the guard honest)."""
     _, in_caps, in_length = x_shape
     out_caps, out_length, _ = w_shape
     oc = out_caps + (-out_caps % 128)
     ic = in_caps + (-in_caps % 8)
     w_bytes = out_length * in_length * oc * 4
     u_bytes = out_length * ic * oc * 4
-    return w_bytes, u_bytes
+    x_bytes = ic * (in_length + (-in_length % 128)) * 4
+    v_bytes = (out_length + (-out_length % 8)) * oc * 4
+    return w_bytes, u_bytes, x_bytes, v_bytes
 
 
 def _bwd(num_iterations, residuals, g):
     x, weight = residuals
-    w_bytes, u_bytes = _padded_sizes(x.shape, weight.shape)
+    w_bytes, u_bytes, x_bytes, v_bytes = _padded_sizes(x.shape, weight.shape)
     # The fused backward's win is keeping the vote tensor out of HBM; its
     # cost is streaming the whole weight + grad accumulator through VMEM on
     # every sequential grid step. Measured on v5e (tools/bench_capsule.py):
     # flagship G head (u 6.3MB >> w 1MB) fused is 3.5x XLA, but the 201-way
     # D classifier head (u 0.26MB << w 8.4MB) fused is 2.7x SLOWER than
     # XLA. Fuse only where votes dominate the weight.
-    need = 4 * w_bytes + 2 * u_bytes + 2 * 1024 * 1024
+    # x/dx blocks and the dv block are also resident per grid step.
+    need = (4 * w_bytes + 2 * u_bytes + 2 * x_bytes + v_bytes
+            + 2 * 1024 * 1024)
     if u_bytes < w_bytes or need > _VMEM_MAX:
         return _bwd_xla(num_iterations, residuals, g)
     limit = None if need <= _VMEM_DEFAULT else need

@@ -49,7 +49,13 @@ def bce(p: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     target-0/p->1 side bottomed out at ~16.1 and the printed D/G losses
     diverged from the reference by up to ~84 in exactly the saturated
     regimes GAN debugging cares about)."""
-    p = p.astype(jnp.float32)
+    # torch.nn.BCELoss *raises* on inputs outside [0, 1]; inside jit we
+    # can't raise data-dependently, so clamp instead — a numerically
+    # overshot probability (p = 1 + ulp makes 1-p negative) would
+    # otherwise produce a silent NaN through log of a negative. The
+    # clamp is exact-saturation-safe: {0, 1} endpoints are handled by
+    # _clamped_log, and in-range sigmoid outputs pass through untouched.
+    p = jnp.clip(p.astype(jnp.float32), 0.0, 1.0)
     target = target.astype(jnp.float32)
     return -jnp.mean(target * _clamped_log(p)
                      + (1.0 - target) * _clamped_log(1.0 - p))
