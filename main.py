@@ -35,7 +35,8 @@ def parse_args():
     parser.add_argument('--data_dir', dest='data_dir', type=str, default='')
     parser.add_argument('--manualSeed', type=int, help='manual seed')
     parser.add_argument('--max_steps', type=int, default=None,
-                        help='stop after N optimizer steps (debug)')
+                        help='stop after N optimizer steps (train) or N '
+                             'data batches (eval) — debug only')
     parser.add_argument('--synthetic', action='store_true',
                         help='force the synthetic dataset')
     return parser.parse_args()
@@ -100,7 +101,7 @@ def main():
     if cfg.TRAIN.FLAG:
         algo.train(max_steps=args.max_steps)
     else:
-        algo.evaluate(split_dir)
+        algo.evaluate(split_dir, max_batches=args.max_steps)
     end_t = time.time()
     print('Total time for training:', end_t - start_t)
 

@@ -197,7 +197,13 @@ class CondGANTrainer:
         return shard_batch(self.mesh, b)
 
     # ------------------------------------------------------------------
-    def train(self, max_steps: Optional[int] = None):
+    def train(self, max_steps: Optional[int] = None,
+              target_step: Optional[int] = None):
+        """``max_steps`` bounds steps taken by THIS invocation (debug);
+        ``target_step`` is an ABSOLUTE optimizer-step target — a resumed
+        run (state.step restored) continues exactly to the same global
+        horizon regardless of how many invocations it took (used by the
+        long-horizon soak harness, tools/soak.py)."""
         cfg = self.cfg
         if type(self.G).__name__ == 'GNet':
             # The EKL losses need the conditional families; the
@@ -354,6 +360,8 @@ class CondGANTrainer:
                     return state
                 if max_steps is not None and total_steps >= max_steps:
                     break
+                if target_step is not None and count >= target_step:
+                    break
 
             elapsed = time.time() - start_t
             m = {k: float(v) for k, v in metrics.items()}
@@ -410,6 +418,8 @@ class CondGANTrainer:
                                     self._big_scorer)
 
             if max_steps is not None and total_steps >= max_steps:
+                break
+            if target_step is not None and count >= target_step:
                 break
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
@@ -588,8 +598,22 @@ class CondGANTrainer:
     # ------------------------------------------------------------------
     def evaluate(self, split_dir: str = 'test',
                  state=None, max_batches: Optional[int] = None):
-        """Sampling loop (cub_trainer_splitz_cap_ca.py:776-911)."""
+        """Sampling loop (cub_trainer_splitz_cap_ca.py:776-911).
+
+        When the eval config names a second generator checkpoint
+        (``TRAIN.ENTITY_NET_G``, miscc/config.py:48) this routes to the
+        reference's COCO-era two-path evaluate (trainer.py:711-838):
+        G_NET + COND_G_NET on the same noise, product of hidden codes
+        decoded through the shared toRGB heads. Only the offline CLI path
+        (state is None) dispatches — the in-training sample grid never
+        uses a second checkpoint.
+        """
         cfg = self.cfg
+        if state is None and cfg.TRAIN.ENTITY_NET_G:
+            from .two_path import evaluate_two_path
+            return evaluate_two_path(cfg, self.data_loader,
+                                     self.output_dir, split_dir,
+                                     max_batches=max_batches)
         if state is None:
             if not cfg.TRAIN.NET_G:
                 print('Error: the path for models is not found!')

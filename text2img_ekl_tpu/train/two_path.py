@@ -109,7 +109,15 @@ def evaluate_two_path(cfg, data_loader, output_dir: str,
         if max_batches is not None and step >= max_batches:
             break
         embeddings = np.asarray(data['embeddings'], np.float32)
-        cls = np.asarray(data['cls']) - 1
+        cls = np.asarray(data['cls'])
+        if cls.ndim > 1:
+            # multi-hot labels (modern coco loader): take the first hot
+            # class, already 0-based. The reference's two-path evaluate
+            # predates multi-hot and got 1-based ints from its loader
+            # (trainer.py:792-793).
+            cls = cls[:, :cfg.GAN.ENTITY_DIM].argmax(1)
+        else:
+            cls = cls - 1
         cls_onehot = jnp.asarray(
             np.eye(cfg.GAN.ENTITY_DIM, dtype=np.float32)[cls])
         bsz = embeddings.shape[0]
