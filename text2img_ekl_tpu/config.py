@@ -256,6 +256,16 @@ class Config:
     # FULL TrainState (G+D params, BN stats, Adam moments), so a
     # 300-epoch run writes ~130 of them; bound this for long runs.
     TPU_KEEP_CHECKPOINTS: int = 0
+    # Offline evaluate (TRAIN.FLAG false): score the sampled images
+    # directly on device (IS, plus FID when TPU_EVAL_FID_STATS names a
+    # real-set .npz) instead of the reference's 30k-PNG disk round trip
+    # (cub_trainer_splitz_cap_ca.py:776-911 then is_of_dir.py). Scores
+    # land in <eval dir>/direct_scores.json; the PNG protocol stays the
+    # default and the B_EXAMPLE super-grid path always writes files.
+    TPU_EVAL_DIRECT: bool = False
+    # Precomputed real-set FID statistics (.npz with mu/sigma) for the
+    # direct eval path; empty skips FID.
+    TPU_EVAL_FID_STATS: str = ''
 
     # ------------------------------------------------------------------
     @property

@@ -82,6 +82,37 @@ class FIDScorer:
 
         self._pool3 = jax.jit(pool3)
 
+        def pool3_row(vars_, images_cb, si):
+            # one caption row of a [C, B, H, W, 3] uint8 stack (the
+            # direct-eval path); dynamic index -> one compiled program
+            return pool3(vars_, images_cb[si].astype(jnp.float32))
+
+        self._pool3_row = jax.jit(pool3_row)
+        self._act_rows = []  # device-resident [B, 2048] rows
+
+    def add_uint8_row(self, images_cb, si: int) -> None:
+        """Accumulate pool_3 activations for caption row ``si`` of a
+        device-resident uint8 stack — one dispatch, no host fetch
+        (TPU_EVAL_DIRECT; replaces the reference's PNG dump + reload
+        before FID, fid.py:208-219)."""
+        self._act_rows.append(self._pool3_row(
+            self.variables, images_cb, jnp.asarray(si, jnp.int32)))
+
+    def accumulated_statistics(self, reset: bool = True):
+        """(mu, sigma) over every activation row queued by
+        ``add_uint8_row``."""
+        acts = np.concatenate([np.asarray(a) for a in self._act_rows], 0)
+        if reset:
+            self._act_rows = []
+        return calculate_activation_statistics(acts)
+
+    def accumulated_fid_against_stats(self, stats_npz_path: str,
+                                      reset: bool = True) -> float:
+        with np.load(stats_npz_path) as f:
+            mu_ref, sigma_ref = f['mu'][:], f['sigma'][:]
+        mu, sigma = self.accumulated_statistics(reset)
+        return calculate_frechet_distance(mu, sigma, mu_ref, sigma_ref)
+
     @classmethod
     def from_frozen_pb(cls, pb_path: str, batch_size: int = 50):
         """The reference-faithful scorer: weights + semantics of

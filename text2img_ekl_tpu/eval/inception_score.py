@@ -102,6 +102,13 @@ class InceptionScorer:
 
         self._predict_u8 = jax.jit(predict_u8)
 
+        def predict_u8_row(vars_, images_cb, si):
+            # one caption row of a [C, B, H, W, 3] uint8 stack; the
+            # dynamic index keeps a single compiled program across rows
+            return predict_u8(vars_, images_cb[si])
+
+        self._predict_u8_row = jax.jit(predict_u8_row)
+
     @classmethod
     def from_frozen_pb(cls, pb_path: str, batch_size: int = 64, dtype=None):
         """General-IS scorer off classify_image_graph_def.pb — weights AND
@@ -159,13 +166,25 @@ class InceptionScorer:
         the tunneled backend costs ~100 ms; measured ~125 ms/gate before
         this, PERF.md). Past SPILL_AFTER queued rows, everything spills
         to host in one drain so HBM use stays bounded."""
-        p = self.predict_batch(images)
+        self._queue(self.predict_batch(images))
+
+    def add_uint8_row(self, images_cb, si: int) -> None:
+        """Queue predictions for caption row ``si`` of a device-resident
+        ``[C, B, H, W, 3]`` uint8 stack — ONE jitted dispatch and no host
+        fetch (the TPU_EVAL_DIRECT path: the offline protocol's sampler
+        emits all-caption uint8 stacks, and scoring them in place skips
+        the 30k-PNG disk round trip the reference does,
+        is_of_dir.py / cub_trainer_splitz_cap_ca.py:776-911)."""
+        self._queue(self._predict_u8_row(self.variables, images_cb,
+                                         jnp.asarray(si, jnp.int32)))
+
+    def _queue(self, p) -> None:
         self.predictions.append(p)
         self._rows += p.shape[0]  # global rows: symmetric across hosts
-        n_dev = sum(p.shape[0] for p in self.predictions
-                    if not isinstance(p, np.ndarray))
+        n_dev = sum(q.shape[0] for q in self.predictions
+                    if not isinstance(q, np.ndarray))
         if n_dev >= self.SPILL_AFTER:
-            self.predictions = [self._to_host(p) for p in self.predictions]
+            self.predictions = [self._to_host(q) for q in self.predictions]
 
     @property
     def count(self) -> int:

@@ -449,9 +449,11 @@ class CondGANTrainer:
                   'random — skipping good-model save '
                   '(set T2I_INCEPTION_CKPT)' % mean)
 
-    def _make_is_scorer(self):
+    def _make_is_scorer(self, dtype=jnp.bfloat16):
         """On-device IS predictions; random weights unless a converted
-        checkpoint is present (scores then are relative-only)."""
+        checkpoint is present (scores then are relative-only).
+        ``dtype=None`` builds the f32 tower (offline/direct scoring);
+        the default bf16 serves the in-training relative gate."""
         from ..eval.convert_tf import random_inception_variables
         from ..eval.inception_score import InceptionScorer
         # GENERAL_IS uses the torchvision-flavor tower (reference
@@ -477,7 +479,7 @@ class CondGANTrainer:
         # faster); offline eval scoring uses f32.
         scorer = InceptionScorer(variables, num_classes,
                                  finetuned=not general, flavor=flavor,
-                                 dtype=jnp.bfloat16)
+                                 dtype=dtype)
         # The absolute save thresholds (the reference's 3.4/5.5/6.0,
         # cub_trainer_splitz_cap_ca.py:670-696) only mean anything when
         # the tower carries the reference's trained weights — an IS of
@@ -691,6 +693,33 @@ class CondGANTrainer:
                 sh_b = NamedSharding(self.mesh, P(DATA_AXIS))
                 sh_r = NamedSharding(self.mesh, P())
 
+        # Direct on-device scoring (TPU_EVAL_DIRECT): the sampler's
+        # all-caption uint8 stacks feed the metric towers in place —
+        # sample -> IS/FID with zero PNG encode/decode and zero host
+        # round trips per image (the protocol default stays the
+        # reference-faithful disk path; measured 40.8 img/s with-save at
+        # 256px on this host vs device-rate scoring here, PERF.md).
+        direct = bool(cfg.TPU_EVAL_DIRECT)
+        if direct and not use_batched:
+            print('!! TPU_EVAL_DIRECT ignored: TEST.B_EXAMPLE super '
+                  'grids always write image files')
+            direct = False
+        is_scorer = fid_scorer = None
+        if direct:
+            is_scorer = self._make_is_scorer(dtype=None)  # f32 offline
+            if cfg.TPU_EVAL_FID_STATS:
+                from ..eval.fid import FIDScorer
+                pb = os.environ.get('T2I_FID_PB', '')
+                if pb and os.path.exists(pb):
+                    fid_scorer = FIDScorer.from_frozen_pb(pb)
+                else:
+                    from ..eval.convert_tf import random_inception_variables
+                    fid_scorer = FIDScorer(random_inception_variables(
+                        jax.random.PRNGKey(0), 1008, 'fid'), 1008,
+                        flavor='fid')
+                    print('!! random FID tower (no $T2I_FID_PB): FID is '
+                          'relative-only')
+
         count = 0
         nid_base = 0
         done = False
@@ -706,6 +735,14 @@ class CondGANTrainer:
         def _drain(limit):
             while len(pending) > limit:
                 dev, names, pcls, nid, keep = pending.pop(0)
+                if direct:
+                    # metric towers consume the device-resident stack;
+                    # nothing crosses to the host until score()
+                    for si in range(keep):
+                        is_scorer.add_uint8_row(dev, si)
+                        if fid_scorer is not None:
+                            fid_scorer.add_uint8_row(dev, si)
+                    continue
                 arr = np.asarray(dev)
                 for si in range(keep):
                     save_single_images(arr[si], names, save_dir,
@@ -835,6 +872,26 @@ class CondGANTrainer:
             done = single_pass or target is None or count >= target
             nid_base += sample_num
         _drain(0)
+        if direct:
+            import json
+            splits = 10 if count >= 100 else 1  # the is_of_dir default
+            mean, std = is_scorer.score(num_splits=splits)
+            result = {'images': count, 'is_mean': mean, 'is_std': std,
+                      'is_splits': splits,
+                      'real_is_weights': bool(
+                          getattr(is_scorer, 'real_weights', False))}
+            if fid_scorer is not None:
+                result['fid'] = fid_scorer.accumulated_fid_against_stats(
+                    cfg.TPU_EVAL_FID_STATS)
+            os.makedirs(save_dir, exist_ok=True)
+            with open(os.path.join(save_dir, 'direct_scores.json'),
+                      'w') as f:
+                json.dump(result, f, indent=1)
+            print('Direct eval (no PNG round trip): IS %.4f +- %.4f over '
+                  '%d images%s' % (mean, std, count,
+                                   (' FID %.4f' % result['fid'])
+                                   if 'fid' in result else ''))
+            return save_dir
         write_errors = flush_writes()  # join the async native PNG writer
         if write_errors:
             # the printed count is the number an operator reads off the

@@ -123,32 +123,32 @@ def _run_step(jax, mode: str = 'shard_map'):
     return out
 
 
-def worker(pid: int, mode: str, port: int) -> None:
+def worker(pid: int, mode: str, port: int, nproc: int = NPROC,
+           dpp: int = DEV_PER_PROC) -> None:
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
-        + ' --xla_force_host_platform_device_count=%d' % DEV_PER_PROC
+        + ' --xla_force_host_platform_device_count=%d' % dpp
     ).strip()
     # the plain-launcher contract init_distributed() documents:
     os.environ['JAX_COORDINATOR_ADDRESS'] = 'localhost:%d' % port
-    os.environ['JAX_NUM_PROCESSES'] = str(NPROC)
+    os.environ['JAX_NUM_PROCESSES'] = str(nproc)
     os.environ['JAX_PROCESS_ID'] = str(pid)
     sys.path.insert(0, REPO)
     import jax
     jax.config.update('jax_platforms', 'cpu')  # env var is ignored here
     from text2img_ekl_tpu.parallel import init_distributed
     assert init_distributed(), 'coordinator env vars not picked up'
-    assert jax.process_count() == NPROC and jax.process_index() == pid
-    assert len(jax.devices()) == NPROC * DEV_PER_PROC
+    assert jax.process_count() == nproc and jax.process_index() == pid
+    assert len(jax.devices()) == nproc * dpp
     metrics = _run_step(jax, mode)
     print('MULTIHOST_RESULT %s' % json.dumps(
         {'process': pid, 'metrics': metrics}), flush=True)
 
 
-def single(mode: str) -> None:
+def single(mode: str, n_dev: int = NPROC * DEV_PER_PROC) -> None:
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
-        + ' --xla_force_host_platform_device_count=%d'
-        % (NPROC * DEV_PER_PROC)).strip()
+        + ' --xla_force_host_platform_device_count=%d' % n_dev).strip()
     sys.path.insert(0, REPO)
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -201,32 +201,41 @@ def _parse_result(out: str) -> dict:
     raise RuntimeError('no result line:\n%s' % out)
 
 
-def launch_leg(mode: str, port: int) -> dict:
+def launch_leg(mode: str, port: int, nproc: int = NPROC,
+               dpp: int = DEV_PER_PROC) -> dict:
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(('JAX_', 'XLA_'))}
+    n_dev = nproc * dpp
+    tag_base = '%s_%dx%d' % (mode, nproc, dpp)
 
     def spawn(args, tag):
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=_isolate_cache(dict(env), '%s_%s' % (mode, tag)),
+            env=_isolate_cache(dict(env), '%s_%s' % (tag_base, tag)),
             cwd=REPO)
 
     workers = [spawn(['--worker', str(pid), '--mode', mode,
-                      '--port', str(port)], str(pid))
-               for pid in range(NPROC)]
-    results = [_parse_result(o) for o in _drain(workers)]
+                      '--port', str(port), '--nproc', str(nproc),
+                      '--dev-per-proc', str(dpp)], str(pid))
+               for pid in range(nproc)]
+    # one CPU core serializes the workers' cold compiles; scale the
+    # drain budget with the process count
+    results = [_parse_result(o)
+               for o in _drain(workers, timeout=900 * max(1, nproc // 2))]
     sp = _parse_result(
-        _drain([spawn(['--single', '--mode', mode], 'single')])[0])
+        _drain([spawn(['--single', '--mode', mode,
+                       '--ndev', str(n_dev)], 'single')])[0])
 
-    m0, m1, ms = (results[0]['metrics'], results[1]['metrics'],
-                  sp['metrics'])
+    m0, ms = results[0]['metrics'], sp['metrics']
     checks = {}
     for k in ('errG', 'errD'):
-        # every process sees the SAME globally-reduced value
-        assert abs(m0[k] - m1[k]) <= 1e-6 * max(1.0, abs(m0[k])), (
-            k, m0[k], m1[k])
-        # 2x4 cross-process == 1x8 in-process (reduction-order noise only)
+        # every process sees the SAME globally-reduced value — with
+        # nproc > 2 this exercises the non-pairwise allgather paths
+        for r in results[1:]:
+            assert abs(m0[k] - r['metrics'][k]) <= \
+                1e-6 * max(1.0, abs(m0[k])), (k, m0[k], r)
+        # NxD cross-process == 1x(N*D) in-process (reduction-order only)
         rel = abs(m0[k] - ms[k]) / max(1.0, abs(ms[k]))
         assert rel <= 1e-4, (k, m0[k], ms[k], rel)
         checks[k] = {'multi': m0[k], 'single': ms[k], 'rel': rel}
@@ -235,7 +244,7 @@ def launch_leg(mode: str, port: int) -> dict:
         'ok': True,
         'mode': mode,
         'topology': '%d processes x %d cpu devices vs 1 x %d'
-                    % (NPROC, DEV_PER_PROC, NPROC * DEV_PER_PROC),
+                    % (nproc, dpp, n_dev),
         'checks': checks,
         'multi_metrics': m0,
         'single_metrics': ms,
@@ -250,6 +259,13 @@ def launch() -> dict:
         legs[mode] = launch_leg(mode, PORT + 10 * i)
         print('leg %s ok (errG rel %.2e)' % (
             mode, legs[mode]['checks']['errG']['rel']), flush=True)
+    # 4 processes x 2 devices: the Gloo rendezvous + consensus code above
+    # only ever saw 2 processes; >2 exercises the non-pairwise
+    # allgather/consensus paths on the same 8-device global mesh
+    legs['shard_map_4proc'] = launch_leg('shard_map', PORT + 10 * len(MODES),
+                                         nproc=4, dpp=2)
+    print('leg shard_map_4proc ok (errG rel %.2e)' % (
+        legs['shard_map_4proc']['checks']['errG']['rel']), flush=True)
     report = {
         # a failing leg raises out of launch_leg (no report is written
         # at all), so a written report is by construction all-ok
@@ -481,6 +497,9 @@ def main():
     ap.add_argument('--single', action='store_true')
     ap.add_argument('--mode', choices=MODES, default='shard_map')
     ap.add_argument('--port', type=int, default=PORT)
+    ap.add_argument('--nproc', type=int, default=NPROC)
+    ap.add_argument('--dev-per-proc', type=int, default=DEV_PER_PROC)
+    ap.add_argument('--ndev', type=int, default=NPROC * DEV_PER_PROC)
     ap.add_argument('--trainer', action='store_true',
                     help='2-process main.py CLI smoke instead of the '
                          'step-level cross-check')
@@ -489,9 +508,10 @@ def main():
                          'consensus checkpoint-and-stop')
     args = ap.parse_args()
     if args.worker is not None:
-        worker(args.worker, args.mode, args.port)
+        worker(args.worker, args.mode, args.port, args.nproc,
+               args.dev_per_proc)
     elif args.single:
-        single(args.mode)
+        single(args.mode, args.ndev)
     elif args.trainer:
         launch_trainer()
     elif args.trainer_signal:

@@ -162,6 +162,15 @@ def run_leg(name, outdir, cfg, target_step, kill_at=None, bn_dtype=None,
             'wall_s': round(time.time() - t_start, 1),
             'from_step': base_step, 'to_step': _last_step(jsonl),
             'stalled': stalled, 'log': os.path.basename(log_path)})
+        if (proc.returncode not in (0, None) and not stalled
+                and _last_step(jsonl) == base_step):
+            # deterministic crash before any progress — relaunching
+            # would loop on the same failure; surface it instead
+            print('[soak] %s: worker crashed (rc=%s) with no progress — '
+                  'aborting leg, see %s'
+                  % (name, proc.returncode, log_path), flush=True)
+            leg['aborted'] = True
+            break
         if not stalled and proc.returncode == 0 and not (
                 kill_at and killed and attempt == 0 and
                 _last_step(jsonl) < target_step):
