@@ -48,9 +48,11 @@ def test_two_process_step_matches_single_process(tmp_path):
     assert proc.returncode == 0, stdout
     report = json.loads(out.read_text())
     assert report['ok']
-    # one leg per SPMD lowering: shard_map, gspmd (sharding-annotated
-    # jit), and ZeRO-1 (TPU_SHARDED_ADAM over the global mesh)
-    assert set(report['legs']) == {'shard_map', 'gspmd', 'zero1'}
+    # one leg per SPMD lowering — shard_map, gspmd (sharding-annotated
+    # jit), ZeRO-1 (TPU_SHARDED_ADAM over the global mesh) — plus the
+    # 4-process x 2-device topology leg (non-pairwise rendezvous paths)
+    assert set(report['legs']) == {'shard_map', 'gspmd', 'zero1',
+                                   'shard_map_4proc'}
     for leg in report['legs'].values():
         for k in ('errG', 'errD'):
             assert leg['checks'][k]['rel'] <= 1e-4, (leg['mode'], k)
