@@ -73,6 +73,15 @@ def worker_main(args):
 
     from text2img_ekl_tpu.train.trainer import CondGANTrainer
     algo = CondGANTrainer(cfg, args.outdir)
+    # the config's epoch budget caps total steps (reference semantics:
+    # MAX_EPOCH bounds the loop); a soak horizon past it must raise the
+    # cap or train() returns early at MAX_EPOCH * steps_per_epoch
+    need_epochs = -(-args.target_step // max(1, algo.num_batches)) + 1
+    if cfg.TRAIN.MAX_EPOCH < need_epochs:
+        print('SOAK: raising MAX_EPOCH %d -> %d to fit target_step %d'
+              % (cfg.TRAIN.MAX_EPOCH, need_epochs, args.target_step),
+              flush=True)
+        cfg.TRAIN.MAX_EPOCH = need_epochs
     print('SOAK_MEM_START ' + json.dumps(memstats()), flush=True)
     t0 = time.time()
     algo.train(target_step=args.target_step)
@@ -329,7 +338,13 @@ def main():
     ap.add_argument('--target-step', type=int, default=2000)
     ap.add_argument('--bn-dtype', default='')
     ap.add_argument('--steps', type=int, default=2000)
-    ap.add_argument('--kill-at', type=int, default=700)
+    ap.add_argument('--kill-at', type=int, default=700,
+                    help='SIGTERM the worker at this logged step; 0 '
+                         'disables the kill (continuation runs)')
+    ap.add_argument('--killed-at-hint', type=int, default=0,
+                    help='kill boundary a previous invocation recorded '
+                         'in the same workdir (for the resume analysis '
+                         'of a --kill-at 0 continuation)')
     ap.add_argument('--ab-steps', type=int, default=1000)
     ap.add_argument('--workdir', default='output/soak_r05')
     ap.add_argument('--out', default='SOAK_r05.json')
@@ -353,10 +368,14 @@ def main():
 
     d_main = os.path.join(REPO, args.workdir, 'main')
     leg = run_leg('main', d_main, args.cfg, args.steps,
-                  kill_at=args.kill_at)
+                  kill_at=args.kill_at or None)
     recs = _read_jsonl(os.path.join(d_main, 'Log', 'metrics.jsonl'))
+    # a continuation run (--kill-at 0 into an existing workdir) can point
+    # at the kill boundary a PREVIOUS invocation recorded in the same
+    # metrics stream via --killed-at-hint
+    killed_at = leg['killed_at_step'] or (args.killed_at_hint or None)
     art['main'] = {'leg': leg, 'summary': summarize_run(recs),
-                   'resume': resume_report(recs, leg['killed_at_step']),
+                   'resume': resume_report(recs, killed_at),
                    'resume_log_lines': _grep(
                        os.path.join(d_main, 'worker_*.log'), 'Resumed from'),
                    'mem': {'start': _grep(os.path.join(
@@ -380,10 +399,13 @@ def main():
             'legs': {k: v['leg'] for k, v in arms.items()}}
 
     m = art['main']
+    # the resume check binds only when a kill was requested (or a prior
+    # invocation's kill boundary is hinted into a continuation run)
+    resume_ok = m['resume'].get('ok') if killed_at else True
     art['ok'] = bool(
         m['summary'].get('all_finite')
         and m['summary'].get('last_step', 0) >= args.steps - 100
-        and m['resume'].get('ok'))
+        and resume_ok)
     if not args.skip_ab:
         art['ok'] = art['ok'] and bool(
             art['bn_ab']['f32_summary'].get('all_finite')
