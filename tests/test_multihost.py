@@ -32,14 +32,17 @@ def test_two_process_step_matches_single_process(tmp_path):
     # New session + killpg on timeout: a plain subprocess timeout would
     # kill only the launcher, orphaning its worker grandchildren on the
     # coordinator port and the host's only CPU core for the rest of the
-    # suite. Budget: 3 legs x (2 workers + 1 single), worst-case cold
-    # compiles on 1 core.
+    # suite. Budget: 3 legs x (2 workers + 1 single) + the 4-process
+    # leg (its own drain budget is 1800s), worst-case cold compiles
+    # serialized on 1 core — the outer timeout must exceed the sum of
+    # the inner drain budgets (3x900 + 1800 = 4500s) plus the single
+    # reference runs.
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py')],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO, start_new_session=True)
     try:
-        stdout, _ = proc.communicate(timeout=5000)
+        stdout, _ = proc.communicate(timeout=7200)
     except subprocess.TimeoutExpired:
         import signal
         os.killpg(proc.pid, signal.SIGKILL)

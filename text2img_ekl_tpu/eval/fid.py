@@ -88,7 +88,13 @@ class FIDScorer:
             return pool3(vars_, images_cb[si].astype(jnp.float32))
 
         self._pool3_row = jax.jit(pool3_row)
-        self._act_rows = []  # device-resident [B, 2048] rows
+        self._act_rows = []  # [B, 2048] rows, device until SPILL_AFTER
+
+    #: device-resident activation rows held before spilling to host —
+    #: the same HBM bound InceptionScorer.SPILL_AFTER provides (a
+    #: 30k-image protocol would otherwise pin ~245 MB of activations on
+    #: top of the pipeline's pending uint8 stacks and both towers)
+    SPILL_AFTER = 25000
 
     def add_uint8_row(self, images_cb, si: int) -> None:
         """Accumulate pool_3 activations for caption row ``si`` of a
@@ -97,6 +103,10 @@ class FIDScorer:
         before FID, fid.py:208-219)."""
         self._act_rows.append(self._pool3_row(
             self.variables, images_cb, jnp.asarray(si, jnp.int32)))
+        n_dev = sum(a.shape[0] for a in self._act_rows
+                    if not isinstance(a, np.ndarray))
+        if n_dev >= self.SPILL_AFTER:
+            self._act_rows = [np.asarray(a) for a in self._act_rows]
 
     def accumulated_statistics(self, reset: bool = True):
         """(mu, sigma) over every activation row queued by

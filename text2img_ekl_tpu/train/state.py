@@ -102,7 +102,15 @@ def place_state_on_mesh(cfg, mesh, state: TrainState) -> TrainState:
     everything replicated, EXCEPT the ZeRO-1 flat moment vectors when
     TPU_SHARDED_ADAM is on — those live sharded over the data axis."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import DATA_AXIS
+    from ..parallel.mesh import DATA_AXIS, sync_processes
+    # On a multi-process mesh the replicated device_put below runs
+    # multihost assert_equal — often the job's FIRST cross-process
+    # collective, ahead of any compile-then-barrier around the step.
+    # Per-process skew from cold-vs-warm compiles can exceed Gloo's
+    # fixed ~30s rendezvous deadline (observed on the 4-process CPU
+    # dryrun leg under host contention); rendezvous over gRPC first so
+    # the placement collective fires aligned. No-op single-process.
+    sync_processes('state_placement')
     rep = NamedSharding(mesh, P())
     if zero1_shard_count(cfg, mesh) <= 1:
         return jax.tree.map(lambda x: jax.device_put(x, rep), state)

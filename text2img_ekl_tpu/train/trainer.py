@@ -874,18 +874,32 @@ class CondGANTrainer:
         _drain(0)
         if direct:
             import json
+            if count == 0:
+                # mirror the PNG path's graceful empty outcome (loader
+                # smaller than a batch under drop_last, or max_batches 0)
+                print('Direct eval: 0 images sampled — no scores')
+                return save_dir
             splits = 10 if count >= 100 else 1  # the is_of_dir default
             mean, std = is_scorer.score(num_splits=splits)
             result = {'images': count, 'is_mean': mean, 'is_std': std,
                       'is_splits': splits,
                       'real_is_weights': bool(
                           getattr(is_scorer, 'real_weights', False))}
+            if jax.process_count() > 1:
+                # each process pools only its loader stride; the PNG
+                # protocol scores the union DIRECTORY afterwards, so a
+                # multi-host direct score is explicitly process-local
+                result['scope'] = 'process_local'
+                result['process'] = jax.process_index()
+                print('!! multi-host direct eval: scores cover this '
+                      "process's shard only (scope=process_local)")
             if fid_scorer is not None:
                 result['fid'] = fid_scorer.accumulated_fid_against_stats(
                     cfg.TPU_EVAL_FID_STATS)
             os.makedirs(save_dir, exist_ok=True)
-            with open(os.path.join(save_dir, 'direct_scores.json'),
-                      'w') as f:
+            name = ('direct_scores.json' if jax.process_count() == 1 else
+                    'direct_scores.p%d.json' % jax.process_index())
+            with open(os.path.join(save_dir, name), 'w') as f:
                 json.dump(result, f, indent=1)
             print('Direct eval (no PNG round trip): IS %.4f +- %.4f over '
                   '%d images%s' % (mean, std, count,

@@ -77,8 +77,12 @@ def main():
     t_direct_1, _ = run(save=True, batches=1)
     t_direct, _ = run(save=True, batches=args.batches)
     cfg.TPU_EVAL_DIRECT = False
-    n_marg = (args.batches - 1) * args.bs * 10
-    rate_direct = n_marg / max(t_direct - t_direct_1, 1e-9)
+    if args.batches > 1:
+        n_marg = (args.batches - 1) * args.bs * 10
+        rate_direct = n_marg / max(t_direct - t_direct_1, 1e-9)
+    else:
+        # no marginal sample at a single batch; quote the total rate
+        rate_direct = n / t_direct
 
     print('sampling only : %6.2f s  %8.1f imgs/s' % (t_nosave, n / t_nosave))
     print('with PNG save : %6.2f s  %8.1f imgs/s' % (t_save, n / t_save))

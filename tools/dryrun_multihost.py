@@ -87,16 +87,12 @@ def _run_step(jax, mode: str = 'shard_map'):
     Ds = build_discriminators(cfg, cond_code_width(cfg))
     state = create_train_state(cfg, G, Ds, jax.random.PRNGKey(0),
                                cond_code_width(cfg), mesh=mesh)
-    if jax.process_count() > 1:
-        # The replicated device_put below runs multihost assert_equal —
-        # the job's FIRST cross-process (Gloo) collective, BEFORE the
-        # compile-then-barrier protection around the step. Cold init
-        # compiles serialized on a 1-core host skew arrival by minutes
-        # against Gloo's fixed ~30s rendezvous deadline (observed on the
-        # 4-process leg under full-suite contention); rendezvous over
-        # gRPC first so the placement collective fires aligned.
-        from text2img_ekl_tpu.parallel.mesh import sync_processes
-        sync_processes('state_placement')
+    # place_state_on_mesh itself rendezvouses all processes before its
+    # first cross-process collective (the replicated device_put's
+    # multihost assert_equal — the Gloo ~30s-deadline race observed on
+    # the 4-process leg under full-suite contention lives there, so the
+    # fix lives in the product path, covering the trainer's resume
+    # placement too)
     state = place_state_on_mesh(cfg, mesh, state)
 
     # One deterministic GLOBAL batch; each process hands shard_batch only

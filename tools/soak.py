@@ -180,15 +180,15 @@ def run_leg(name, outdir, cfg, target_step, kill_at=None, bn_dtype=None,
                   % (name, proc.returncode, log_path), flush=True)
             leg['aborted'] = True
             break
-        if not stalled and proc.returncode == 0 and not (
-                kill_at and killed and attempt == 0 and
-                _last_step(jsonl) < target_step):
-            if _last_step(jsonl) >= target_step - 100 or not kill_at:
-                break
+        if (not stalled and proc.returncode == 0
+                and _last_step(jsonl) >= target_step - 100):
+            break  # reached the horizon
         if killed and kill_at:
-            kill_at = None  # the one planned kill happened; finish the run
-        if _last_step(jsonl) >= target_step - 100 and proc.returncode == 0:
-            break
+            kill_at = None  # the one planned kill happened
+        # otherwise relaunch: auto-resume continues toward the target —
+        # the post-kill leg, a wedge kill, AND a clean-but-short exit
+        # (e.g. an externally-signalled checkpoint-and-exit-0) all
+        # resume from the last checkpoint rather than count as done
     return leg
 
 
@@ -309,8 +309,10 @@ def ab_report(recs_a, recs_b, label_a, label_b):
            if 'inception_score' in r}
     curve = []
     for s in sorted(set(isa) | set(isb)):
-        curve.append({'step': s, label_a: round(isa.get(s, float('nan')), 4),
-                      label_b: round(isb.get(s, float('nan')), 4)})
+        # None (valid JSON), never NaN, for a step only one arm logged
+        curve.append({'step': s,
+                      label_a: round(isa[s], 4) if s in isa else None,
+                      label_b: round(isb[s], 4) if s in isb else None})
     out['is_curves'] = curve
     both = [(isa[s], isb[s]) for s in set(isa) & set(isb)]
     if both:
@@ -404,12 +406,15 @@ def main():
     resume_ok = m['resume'].get('ok') if killed_at else True
     art['ok'] = bool(
         m['summary'].get('all_finite')
-        and m['summary'].get('last_step', 0) >= args.steps - 100
+        and (m['summary'].get('last_step') or 0) >= args.steps - 100
         and resume_ok)
     if not args.skip_ab:
+        f32s = art['bn_ab']['f32_summary']
+        bf16s = art['bn_ab']['bf16_summary']
         art['ok'] = art['ok'] and bool(
-            art['bn_ab']['f32_summary'].get('all_finite')
-            and art['bn_ab']['bf16_summary'].get('all_finite'))
+            f32s.get('all_finite') and bf16s.get('all_finite')
+            and (f32s.get('last_step') or 0) >= args.ab_steps - 100
+            and (bf16s.get('last_step') or 0) >= args.ab_steps - 100)
     art['total_wall_s'] = round(time.time() - t0, 1)
     with open(os.path.join(REPO, args.out), 'w') as f:
         json.dump(art, f, indent=1)
