@@ -35,14 +35,14 @@ def test_two_process_step_matches_single_process(tmp_path):
     # suite. Budget: 3 legs x (2 workers + 1 single) + the 4-process
     # leg (its own drain budget is 1800s), worst-case cold compiles
     # serialized on 1 core — the outer timeout must exceed the sum of
-    # the inner drain budgets (3x900 + 1800 = 4500s) plus the single
-    # reference runs.
+    # ALL inner drain budgets: 3x900 worker drains + 1800 (4-proc) +
+    # 4x900 single-reference drains = 8100s.
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, 'tools', 'dryrun_multihost.py')],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=REPO, start_new_session=True)
     try:
-        stdout, _ = proc.communicate(timeout=7200)
+        stdout, _ = proc.communicate(timeout=9000)
     except subprocess.TimeoutExpired:
         import signal
         os.killpg(proc.pid, signal.SIGKILL)

@@ -106,7 +106,13 @@ class FIDScorer:
         n_dev = sum(a.shape[0] for a in self._act_rows
                     if not isinstance(a, np.ndarray))
         if n_dev >= self.SPILL_AFTER:
-            self._act_rows = [np.asarray(a) for a in self._act_rows]
+            # _to_host, not bare np.asarray: a multi-host-sharded stack
+            # yields non-fully-addressable prediction arrays, and the IS
+            # scorer's spill already handles (dedups/sorts) that case —
+            # share the one correct implementation
+            from .inception_score import InceptionScorer
+            self._act_rows = [InceptionScorer._to_host(a)
+                              for a in self._act_rows]
 
     def accumulated_statistics(self, reset: bool = True):
         """(mu, sigma) over every activation row queued by

@@ -876,7 +876,13 @@ class CondGANTrainer:
             import json
             if count == 0:
                 # mirror the PNG path's graceful empty outcome (loader
-                # smaller than a batch under drop_last, or max_batches 0)
+                # smaller than a batch under drop_last, or max_batches
+                # 0) — but keep the documented contract: the eval dir
+                # exists and direct_scores.json says what happened
+                os.makedirs(save_dir, exist_ok=True)
+                with open(os.path.join(save_dir, 'direct_scores.json'),
+                          'w') as f:
+                    json.dump({'images': 0}, f, indent=1)
                 print('Direct eval: 0 images sampled — no scores')
                 return save_dir
             splits = 10 if count >= 100 else 1  # the is_of_dir default

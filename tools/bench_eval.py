@@ -84,11 +84,13 @@ def main():
         # no marginal sample at a single batch; quote the total rate
         rate_direct = n / t_direct
 
+    direct_kind = ('marginal' if args.batches > 1
+                   else 'total incl. scorer setup')
     print('sampling only : %6.2f s  %8.1f imgs/s' % (t_nosave, n / t_nosave))
     print('with PNG save : %6.2f s  %8.1f imgs/s' % (t_save, n / t_save))
-    print('direct scoring: %6.2f s  %8.1f imgs/s marginal '
-          '(sample -> IS, no disk; %.2f s incl per-call scorer setup)'
-          % (t_direct, rate_direct, t_direct))
+    print('direct scoring: %6.2f s  %8.1f imgs/s %s '
+          '(sample -> IS, no disk)'
+          % (t_direct, rate_direct, direct_kind))
     print('host write tax: %6.2f s (%.0f%% of total)'
           % (t_save - t_nosave, 100 * (t_save - t_nosave) / max(t_save, 1e-9)))
 

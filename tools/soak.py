@@ -401,9 +401,12 @@ def main():
             'legs': {k: v['leg'] for k, v in arms.items()}}
 
     m = art['main']
-    # the resume check binds only when a kill was requested (or a prior
-    # invocation's kill boundary is hinted into a continuation run)
-    resume_ok = m['resume'].get('ok') if killed_at else True
+    # the resume check binds whenever a kill was REQUESTED (or hinted
+    # from a prior invocation) — a requested kill that never fired
+    # (target below kill_at, or the worker finishing between polls)
+    # must fail the artifact, not silently skip the kill/resume test
+    resume_ok = (m['resume'].get('ok')
+                 if (args.kill_at or args.killed_at_hint) else True)
     art['ok'] = bool(
         m['summary'].get('all_finite')
         and (m['summary'].get('last_step') or 0) >= args.steps - 100
